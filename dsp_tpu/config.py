@@ -1,0 +1,86 @@
+"""Global configuration for dsp_tpu.
+
+The reference (dsp.h:42) fixes ``sample_t`` to C ``double``. On TPU, float64
+is emulated and slow, so the compute dtype is configurable:
+
+  * On CPU backends we default to float64 (bit-parity testing vs the C build).
+  * On TPU we default to float32 (hot path; the -120 dBFS error budget is
+    tracked per-kernel, with float64 fallbacks available via DSP_TPU_DTYPE).
+
+Set the environment variable ``DSP_TPU_DTYPE`` to ``float32``/``float64`` to
+override. x64 support is enabled in JAX at import so float64 host buffers and
+CPU golden tests work regardless of the compute dtype.
+"""
+
+import os
+
+import jax
+
+# Enable x64 so float64 is representable (reference sample_t is double,
+# /root/reference/dsp.h:42). Compute dtype on TPU remains float32 by default.
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+# Defaults mirroring /root/reference/dsp.h:34-40
+DEFAULT_FS = 44100
+DEFAULT_CHANNELS = 1
+DEFAULT_BLOCK_FRAMES = 2048
+DEFAULT_INPUT_BUF_RATIO = 64
+DEFAULT_OUTPUT_BUF_RATIO = 8
+
+_DTYPE_MAP = {
+    "float32": jnp.float32,
+    "float64": jnp.float64,
+    "f32": jnp.float32,
+    "f64": jnp.float64,
+}
+
+
+def _default_dtype():
+    env = os.environ.get("DSP_TPU_DTYPE")
+    if env:
+        return _DTYPE_MAP[env.lower()]
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend == "cpu":
+        return jnp.float64
+    return jnp.float32
+
+
+class _Config:
+    def __init__(self):
+        self._sample_dtype = None
+
+    @property
+    def sample_dtype(self):
+        if self._sample_dtype is None:
+            self._sample_dtype = _default_dtype()
+        return self._sample_dtype
+
+    @sample_dtype.setter
+    def sample_dtype(self, dt):
+        self._sample_dtype = jnp.dtype(dt) if dt is not None else None
+
+    @property
+    def np_sample_dtype(self):
+        return np.dtype(self.sample_dtype)
+
+
+_cfg = _Config()
+
+
+def sample_dtype():
+    """The on-device compute dtype for audio samples."""
+    return _cfg.sample_dtype
+
+
+def set_sample_dtype(dt):
+    _cfg.sample_dtype = dt
+
+
+def np_sample_dtype():
+    return _cfg.np_sample_dtype

@@ -1,0 +1,23 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real TPU hardware in CI is a single chip; multi-chip sharding is validated on
+a forced-host-platform CPU mesh (the driver's dryrun_multichip does the same).
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
