@@ -1,0 +1,535 @@
+"""Effects chain: build, optimize, align, compile, run.
+
+This is the rebuild's analog of /root/reference/effects_chain.c, redesigned
+as a compiler pipeline: parse -> typed effect list -> passes (merge
+optimization, channel alignment, drain computation) -> one jitted
+``(states, block) -> (states, out_block)`` step function. Offline processing
+additionally wraps the step in a ``lax.scan`` over many blocks per dispatch
+so host->device dispatch overhead is amortized.
+"""
+
+from dataclasses import dataclass, field
+from fractions import Fraction
+from math import gcd, lcm
+
+import numpy as np
+
+from dsp_tpu import config
+from dsp_tpu.core import log
+from dsp_tpu.core.types import StreamInfo
+from dsp_tpu.effects.align import AlignEffect
+from dsp_tpu.effects.base import EFFECT_FLAG_ALIGN_BARRIER, EFFECT_FLAG_CH_DEPS_IDENTITY, EFFECT_FLAG_OPT_REORDERABLE
+
+
+class ChainError(Exception):
+    pass
+
+
+@dataclass
+class Chain:
+    istream: StreamInfo
+    ostream: StreamInfo
+    effects: list = field(default_factory=list)
+    ratio: Fraction = Fraction(1)
+    drain_frames: int = 0
+    output_discard: int = 0  # frames to drop at chain output (align-discard equivalent)
+    zero_ref: int = 0
+
+    @property
+    def max_ch(self):
+        m = max(self.istream.channels, self.ostream.channels)
+        for e in self.effects:
+            m = max(m, e.istream.channels, e.ostream.channels)
+        return m
+
+    def delay_frames(self):
+        """Total chain latency in *input* frames (approx; effects_chain.c:1083-1089)."""
+        d = Fraction(0)
+        r = Fraction(1)
+        for e in self.effects:
+            lat, _ = e.channel_offsets()
+            if len(lat):
+                d += Fraction(int(lat.max()), 1) / r
+            r *= e.ratio
+        return float(d)
+
+
+# ---------------------------------------------------------------------------
+# passes
+# ---------------------------------------------------------------------------
+
+
+def _has_merge(e):
+    from dsp_tpu.effects.base import Effect
+
+    return type(e).merge is not Effect.merge
+
+
+def optimize_chain(chain):
+    """Merge pass (effects_chain.c:605-641): each merge-capable effect tries
+    to absorb every following effect with identical stream params, skipping
+    over OPT_REORDERABLE non-mergeables (so eq's merge across a gain)."""
+    n_before = len(chain.effects)
+    effects = chain.effects
+    i = 0
+    while i < len(effects):
+        dest = effects[i]
+        if _has_merge(dest):
+            j = i + 1
+            while j < len(effects):
+                src = effects[j]
+                if (
+                    src.istream.fs != dest.istream.fs
+                    or src.istream.channels != dest.istream.channels
+                    or src.ostream.fs != dest.ostream.fs
+                    or src.ostream.channels != dest.ostream.channels
+                ):
+                    break
+                if not _has_merge(src):
+                    if src.flags & EFFECT_FLAG_OPT_REORDERABLE:
+                        j += 1
+                        continue
+                    break
+                if dest.merge(src):
+                    effects.pop(j)
+                else:
+                    j += 1
+        i += 1
+    if len(effects) < n_before:
+        log.verbose(
+            "optimize: info: reduced number of effects from %d to %d", n_before, len(effects)
+        )
+
+
+def prepare_chain(chain):
+    for e in chain.effects:
+        e.prepare()
+
+
+def _query_channel_deps(e):
+    deps = e.channel_deps()
+    if deps is None:
+        return None
+    return np.asarray(deps, dtype=bool)
+
+
+def _find_input_deps(ch, deps):
+    """Transitive closure of channel coupling (effects_chain.c:703-725)."""
+    n_out, n_in = deps.shape
+    r = np.zeros(n_in, dtype=bool)
+    r[ch] = True
+    changed = True
+    while changed:
+        changed = False
+        for i in range(n_out):
+            if (r & deps[i]).any():
+                new = deps[i] & ~r
+                if new.any():
+                    r |= deps[i]
+                    changed = True
+    return r
+
+
+def _is_passthrough(e):
+    return e.istream.channels == e.ostream.channels and (
+        e.flags & (EFFECT_FLAG_CH_DEPS_IDENTITY | EFFECT_FLAG_OPT_REORDERABLE)
+    )
+
+
+def _insert_align(chain, idx, offsets, align_refs, prev):
+    """Insert an AlignEffect after position idx-1 (align.c:95-162).
+
+    Returns (n_inserted, discard_frames_at_this_point).
+    """
+    n = prev.ostream.channels
+    at_end = idx >= len(chain.effects)
+    if align_refs is not None:
+        do_align = any(offsets[k] != align_refs[k] for k in range(n))
+    else:
+        do_align = any(offsets[k] != 0 for k in range(n))
+    if not do_align:
+        return 0, 0
+    max_offset = 0 if at_end else offsets[0]
+    for k in range(n):
+        max_offset = max(max_offset, offsets[k])
+    lens = np.zeros(n, dtype=np.int64)
+    min_ref = max_offset
+    for k in range(n):
+        ref = align_refs[k] if align_refs is not None else max_offset
+        min_ref = min(min_ref, ref)
+        if offsets[k] != ref:
+            lens[k] = ref - offsets[k]
+        offsets[k] = ref
+    discard = 0
+    if min_ref > 0:
+        for k in range(n):
+            offsets[k] -= min_ref
+        discard = min_ref
+    e = AlignEffect(prev.ostream, lens, discard)
+    chain.effects.insert(idx, e)
+    if log.loglevel(log.LL_VERBOSE):
+        for k in range(n):
+            if lens[k]:
+                log.verbose("align: info: channel %d: %d", k, int(lens[k]))
+        if discard:
+            log.verbose("align: info: discarding %d frames (at chain output)", discard)
+    return 1, discard
+
+
+def align_channels(chain):
+    """Alignment pass (effects_chain.c:727-875), with output-side discard."""
+    max_ch = chain.max_ch
+    offsets = [0] * max_ch
+    delays = [0] * max_ch
+    nd_part = 0
+    discards = []  # (position_after_insert, discard_frames)
+
+    i = 0
+    prev = None
+    while i < len(chain.effects):
+        e = chain.effects[i]
+        deps = _query_channel_deps(e)
+        have_deps = deps is not None
+        if prev is not None:
+            if e.flags & EFFECT_FLAG_ALIGN_BARRIER:
+                ins, disc = _insert_align(chain, i, offsets, None, prev)
+            elif have_deps:
+                n_in = e.istream.channels
+                align_refs = list(offsets[:n_in])
+                done = np.zeros(n_in, dtype=bool)
+                for k in range(n_in):
+                    if done[k]:
+                        continue
+                    grp = _find_input_deps(k, deps)
+                    max_offset = offsets[k]
+                    for m in range(n_in):
+                        if grp[m]:
+                            done[m] = True
+                            max_offset = max(max_offset, offsets[m])
+                    for m in range(n_in):
+                        if grp[m]:
+                            align_refs[m] = max_offset
+                ins, disc = _insert_align(chain, i, offsets, align_refs, prev)
+            elif e.istream.fs != e.ostream.fs:
+                log.verbose("info: %s: sample rate changed; doing full alignment", e.name)
+                ins, disc = _insert_align(chain, i, offsets, None, prev)
+            elif not _is_passthrough(e):
+                log.verbose("warning: %s: channel deps unknown; doing full alignment", e.name)
+                ins, disc = _insert_align(chain, i, offsets, None, prev)
+            else:
+                ins, disc = 0, 0
+            if ins:
+                i += ins
+                if disc:
+                    discards.append((i, disc))
+        # propagate offsets/delays through the effect
+        if have_deps:
+            n_in, n_out = e.istream.channels, e.ostream.channels
+            tmp_offsets = list(offsets[:n_in])
+            tmp_delays = list(delays[:n_in])
+            max_offset = max(tmp_offsets[:n_in], default=0)
+            for o in range(n_out):
+                offset_idx = -1
+                delays[o] = 0
+                for k in range(n_in):
+                    if deps[o, k]:
+                        if offset_idx < 0:
+                            offset_idx = k
+                            delays[o] = tmp_delays[k]
+                        elif tmp_offsets[k] != tmp_offsets[offset_idx]:
+                            raise ChainError(
+                                f"align: BUG: channel {k} offset incorrect: "
+                                f"{tmp_offsets[k]}!={tmp_offsets[offset_idx]}"
+                            )
+                        else:
+                            delays[o] = min(delays[o], tmp_delays[k])
+                offsets_o = tmp_offsets[offset_idx] if offset_idx >= 0 else max_offset
+                if o < len(offsets):
+                    offsets[o] = offsets_o
+        elif not _is_passthrough(e):
+            n_in, n_out = e.istream.channels, e.ostream.channels
+            min_delay = delays[0]
+            for k in range(1, n_in):
+                min_delay = min(min_delay, delays[k])
+                if offsets[k] != offsets[k - 1]:
+                    raise ChainError(
+                        f"align: BUG: channel {k} offset incorrect: {offsets[k]}!={offsets[k-1]}"
+                    )
+            for o in range(n_out):
+                delays[o] = min_delay
+        for o in range(e.ostream.channels, e.istream.channels):
+            delays[o] = offsets[o] = 0
+        n_out = e.ostream.channels
+        for o in range(n_out):
+            offsets[o] += delays[o] - nd_part
+        lat, req = e.channel_offsets()
+        if lat.any() or req.any():
+            for o in range(n_out):
+                offsets[o] += int(lat[o])
+                delays[o] += int(req[o])
+        elif e.ostream.fs != e.istream.fs:
+            g = gcd(e.ostream.fs, e.istream.fs)
+            rn, rd = e.ostream.fs // g, e.istream.fs // g
+            for o in range(n_out):
+                delays[o] = -(-delays[o] * rn // rd)
+        nd_part = 0
+        for o in range(n_out):
+            nd_part = min(nd_part, delays[o])
+        for o in range(n_out):
+            offsets[o] -= delays[o] - nd_part
+        prev = e
+        i += 1
+
+    chain.zero_ref = -nd_part
+    if prev is not None:
+        ins, disc = _insert_align(chain, len(chain.effects), offsets, None, prev)
+        if disc:
+            discards.append((len(chain.effects), disc))
+
+    # convert per-position discards to chain-output frames
+    total = Fraction(0)
+    for pos, disc in discards:
+        r = Fraction(1)
+        for e in chain.effects[pos:]:
+            r *= e.ratio
+        total += disc * r
+    chain.output_discard = int(total)
+
+
+def set_drain_frames(chain):
+    """Drain computation (effects_chain.c:877-923)."""
+    max_ch = chain.max_ch
+    samples = [0] * max_ch
+    for e in chain.effects:
+        deps = _query_channel_deps(e)
+        if deps is not None:
+            tmp = list(samples)
+            for o in range(e.ostream.channels):
+                ch_drain = 0
+                for k in range(e.istream.channels):
+                    if deps[o, k]:
+                        ch_drain = max(ch_drain, tmp[k])
+                samples[o] = ch_drain
+        elif (
+            not (e.flags & (EFFECT_FLAG_CH_DEPS_IDENTITY | EFFECT_FLAG_OPT_REORDERABLE))
+            and e.istream.channels != e.ostream.channels
+        ):
+            m = max(samples[: e.istream.channels], default=0)
+            for o in range(e.ostream.channels):
+                samples[o] = m
+        before = list(samples)
+        e.drain_samples(samples)
+        if samples == before and e.ostream.fs != e.istream.fs:
+            g = gcd(e.ostream.fs, e.istream.fs)
+            rn, rd = e.ostream.fs // g, e.istream.fs // g
+            for o in range(e.ostream.channels):
+                samples[o] = -(-samples[o] * rn // rd)
+        for o in range(e.ostream.channels, e.istream.channels):
+            samples[o] = 0
+    drain = 0
+    out_ch = chain.ostream.channels
+    for o in range(out_ch):
+        drain = max(drain, samples[o])
+    if chain.istream.fs != chain.ostream.fs:
+        g = gcd(chain.istream.fs, chain.ostream.fs)
+        drain = drain * (chain.istream.fs // g) // (chain.ostream.fs // g)
+    chain.drain_frames = drain
+    log.verbose("info: input drain frames: %d", chain.drain_frames)
+
+
+def finish_chain(chain):
+    if not chain.effects:
+        chain.ostream = chain.istream
+        return chain
+    chain.ostream = chain.effects[-1].ostream
+    g = gcd(chain.ostream.fs, chain.istream.fs)
+    chain.ratio = Fraction(chain.ostream.fs // g, chain.istream.fs // g)
+    optimize_chain(chain)
+    prepare_chain(chain)
+    align_channels(chain)
+    set_drain_frames(chain)
+    return chain
+
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+
+def build_chain_from_args(argv, stream, mask=None, dir_=None):
+    """argv: list of effect/arg words (no program name)."""
+    from dsp_tpu.chain.parser import parse_string_into
+
+    # join argv into a single line for diagnostics, preserving word boundaries
+    # exactly (each argv element is one token, like ec_parse_argv)
+    return build_chain_from_string(" ".join(_escape_word(w) for w in argv), stream, mask, dir_)
+
+
+def _escape_word(w):
+    if w == "" or any(c.isspace() for c in w) or '"' in w or "\\" in w:
+        return '"' + w.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return w
+
+
+def build_chain_from_string(s, stream, mask=None, dir_=None):
+    from dsp_tpu.chain.parser import parse_string_into
+
+    chain = Chain(istream=stream, ostream=stream)
+    sref = [stream]
+    parse_string_into(chain, s, None, dir_ or ".", sref, mask)
+    return finish_chain(chain)
+
+
+def build_chain_from_file(path, stream, mask=None, dir_=None, enforce_eof_marker=False):
+    from dsp_tpu.chain.parser import parse_file_into
+
+    chain = Chain(istream=stream, ostream=stream)
+    sref = [stream]
+    if mask is None:
+        mask = np.ones(stream.channels, dtype=bool)
+    parse_file_into(chain, path, dir_ or ".", sref, mask, enforce_eof_marker)
+    return finish_chain(chain)
+
+
+# ---------------------------------------------------------------------------
+# compilation / execution
+# ---------------------------------------------------------------------------
+
+
+class CompiledChain:
+    """A chain compiled for a fixed input block size.
+
+    The input block size is rounded up so that every intermediate frame count
+    is integral (static shapes under jit). Offline use: process_array() runs
+    a lax.scan over all blocks in one dispatch.
+    """
+
+    def __init__(self, chain, block_frames=None, dtype=None):
+        import jax
+
+        self.chain = chain
+        self.dtype = dtype or config.sample_dtype()
+        block_frames = block_frames or config.DEFAULT_BLOCK_FRAMES
+        # quantum: the input block size must keep every intermediate frame
+        # count integral (static shapes), and must be a multiple of each
+        # effect's block_quantum expressed in chain-input frames.
+        q = 1
+        r = Fraction(1)  # product of ratios before the current effect
+        for e in chain.effects:
+            quantum = int(getattr(e, "block_quantum", 1))
+            if quantum > 1:
+                need = Fraction(quantum) / r  # input frames per quantum
+                q = lcm(q, need.numerator) if need.denominator == 1 else lcm(q, need.numerator)
+            r *= e.ratio
+            q = lcm(q, r.denominator)
+        self.block_frames = -(-block_frames // q) * q
+        self.out_frames = int(self.block_frames * chain.ratio)
+        self._runtime_effects = [e for e in chain.effects if not getattr(e, "runtime_noop", False)]
+        self.states = [self._to_device(e.state0()) for e in self._runtime_effects]
+
+        def step(states, x):
+            new_states = []
+            for e, st in zip(self._runtime_effects, states):
+                st, x = e.step(st, x)
+                new_states.append(st)
+            return new_states, x
+
+        def multi(states, xs):
+            return jax.lax.scan(step, states, xs)
+
+        self._step = jax.jit(step)
+        self._multi = jax.jit(multi)
+        self._step_fn_raw = step
+
+    def _to_device(self, tree):
+        import jax
+
+        def conv(a):
+            a = np.asarray(a)
+            if a.dtype in (np.float64, np.float32):
+                return jax.numpy.asarray(a, dtype=self.dtype)
+            return jax.numpy.asarray(a)
+
+        return jax.tree_util.tree_map(conv, tree)
+
+    def reset(self):
+        self.states = [self._to_device(e.state0()) for e in self._runtime_effects]
+
+    def run_block(self, x):
+        """x: [block_frames, in_ch] -> [out_frames, out_ch] (device arrays ok)."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x, dtype=self.dtype)
+        self.states, y = self._step(self.states, x)
+        return y
+
+    def run_blocks(self, xs):
+        """xs: [n, block_frames, in_ch] -> [n, out_frames, out_ch] in one dispatch."""
+        import jax.numpy as jnp
+
+        xs = jnp.asarray(xs, dtype=self.dtype)
+        self.states, ys = self._multi(self.states, xs)
+        return ys
+
+    def host_update(self):
+        for e, st in zip(self._runtime_effects, self.states):
+            e.host_update(st)
+
+    def host_finish(self):
+        for e, st in zip(self._runtime_effects, self.states):
+            e.host_finish(st)
+
+    def process_array(self, x, drain=True, discard=True):
+        """Process a whole [frames, in_ch] array; returns [out, out_ch] numpy.
+
+        Appends chain.drain_frames of silence when drain=True and slices the
+        chain's output_discard when discard=True, so the result matches the
+        reference's file-to-file output.
+        """
+        x = np.asarray(x, dtype=np.float64)
+        n_in = len(x)
+        pad = self.chain.drain_frames if drain else 0
+        total = n_in + pad
+        B = self.block_frames
+        n_blocks = max(1, -(-total // B))
+        xp = np.zeros((n_blocks * B, x.shape[1]), dtype=np.float64)
+        xp[:n_in] = x
+        ys = self.run_blocks(xp.reshape(n_blocks, B, x.shape[1]))
+        y = np.asarray(ys, dtype=np.float64).reshape(-1, ys.shape[-1])
+        out_valid = int(np.floor(total * self.chain.ratio)) if drain else int(n_in * self.chain.ratio)
+        y = y[:out_valid]
+        if discard and self.chain.output_discard:
+            y = y[self.chain.output_discard :]
+        return y
+
+
+def chain_needs_dither(chain):
+    """True if any effect modifies the signal such that dither is useful
+    (effects_chain.c:1022-1030)."""
+    from dsp_tpu.effects.base import EFFECT_FLAG_NO_DITHER
+
+    for e in chain.effects:
+        if not (e.flags & EFFECT_FLAG_NO_DITHER) and not getattr(e, "is_dither", False):
+            return True
+    return False
+
+
+def chain_set_dither_params(chain, prec, enabled):
+    """Propagate auto-dither params; returns True if app-level dither should
+    be added (effects_chain.c:1032-1043)."""
+    from dsp_tpu.effects.base import EFFECT_FLAG_NO_DITHER
+
+    r = True
+    for e in chain.effects:
+        if getattr(e, "is_dither", False):
+            e.set_auto_params(prec, enabled)
+            r = False
+        elif not (e.flags & EFFECT_FLAG_NO_DITHER):
+            r = True
+    return r and enabled
+
+
+def signal_chain(chain, compiled=None):
+    """Send the chain signal (SIGUSR2 / 's'): every effect's signal() hook."""
+    for e in chain.effects:
+        e.signal()

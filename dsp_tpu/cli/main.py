@@ -1,0 +1,548 @@
+"""dsp CLI (reference: /root/reference/dsp.c).
+
+Synopsis: ``dsp [options] path ... [effect [args]] ...``
+
+This module implements option/input parsing, the dither policy, clip
+accounting, plot mode, concatenate and sequence input modes, and the
+non-interactive processing loop. Interactive transport (keys/seek/pause),
+ABX mode, and the status-line display live in dsp_tpu.cli.interactive.
+"""
+
+import sys
+
+import numpy as np
+
+from dsp_tpu import config
+from dsp_tpu.chain import ChainError, CompiledChain, build_chain_from_args
+from dsp_tpu.chain.chain import chain_needs_dither, chain_set_dither_params
+from dsp_tpu.chain.parser import ChainParseError
+from dsp_tpu.chain.plot import PlotError, plot_chain
+from dsp_tpu.codecs import (
+    CODEC_HINT_CAN_DITHER,
+    CODEC_MODE_READ,
+    CODEC_MODE_WRITE,
+    CODEC_ENDIAN_BIG,
+    CODEC_ENDIAN_LITTLE,
+    CODEC_ENDIAN_NATIVE,
+    Codec,
+    CodecError,
+    CodecParams,
+    init_codec,
+)
+from dsp_tpu.core import log
+from dsp_tpu.core.parse import ParseError, parse_freq, parse_timespec, strtol
+from dsp_tpu.core.prng import TpdfNoise, tpdf_dither_get_mult
+from dsp_tpu.core.types import StreamInfo
+from dsp_tpu.effects.base import get_effect_info
+from dsp_tpu.chain.lexer import token_id, TOK_LITERAL
+
+HELP_TEXT = """\
+Usage: dsp [options] path ... [effect [args]] ...
+
+Global options:
+  -h         show this help
+  -b frames  block size (must be given before the first input)
+  -i         force interactive mode
+  -I         disable interactive mode
+  -q         disable progress display
+  -s         silent mode
+  -v         verbose mode
+  -d         force dithering
+  -D         disable dithering
+  -E         don't drain effects chain before rebuilding
+  -p         plot effects chain magnitude response instead of processing audio
+  -P         same as -p, but also plot phase response
+  -V         verbose progress display
+  -S         use "sequence" input combining mode
+  -X[n]      run in ABX comparator mode
+
+Input/output options:
+  -o                output
+  -t type           type
+  -e encoding       encoding
+  -B/L/N            big/little/native endian
+  -r frequency[k]   sample rate
+  -c channels       number of channels
+  -R ratio          buffer ratio
+  -T time_range     set start and end positions (input only)
+  -l[n]             repeat n times or indefinitely (input only)
+  -n                equivalent to '-t null null'
+"""
+
+ABX_TRIALS_DEFAULT = 10
+
+
+class _Input:
+    def __init__(self, codec, start_pos=0, end_pos=-1, repeats=0):
+        self.codec = codec
+        self.start_pos = start_pos
+        self.end_pos = end_pos  # -1 = unspecified
+        self.repeats = repeats  # -1 = infinite
+
+
+def _is_chain_start(word):
+    if token_id(word) != TOK_LITERAL:
+        return True
+    return get_effect_info(word) is not None
+
+
+_GLOBAL_FLAGS = "hbiIqsvdDEpPVSX"
+_IO_OPTSTRING = {
+    "b": 1, "t": 1, "e": 1, "r": 1, "c": 1, "R": 1, "T": 1,
+    "X": 2, "l": 2,
+}
+
+
+class CliState:
+    def __init__(self):
+        self.block_frames = config.DEFAULT_BLOCK_FRAMES
+        self.interactive = None
+        self.show_progress = True
+        self.verbose_progress = False
+        self.force_dither = 0
+        self.drain_effects = True
+        self.plot = 0
+        self.input_mode = "concat"  # concat | sequence | abx
+        self.n_trials = ABX_TRIALS_DEFAULT
+        self.inputs = []
+        self.out_params = None
+        self.peak = 0.0
+        self.clip_count = 0
+        self.input_buf_ratio = config.DEFAULT_INPUT_BUF_RATIO
+        self.output_buf_ratio = config.DEFAULT_OUTPUT_BUF_RATIO
+
+
+def _parse_codec_params(state, argv, ind):
+    """Parse one input's/output's options; returns (params, timespan, repeats, ind)."""
+    p = CodecParams(path="", fs=0, channels=0, mode=CODEC_MODE_READ, buf_ratio=0)
+    timespan = None
+    repeats = 0
+    while ind < len(argv):
+        a = argv[ind]
+        if len(a) < 2 or a[0] != "-":
+            break
+        sp = 1
+        consumed = True
+        while sp < len(a):
+            c = a[sp]
+            arg = None
+
+            def need_arg():
+                nonlocal sp, ind
+                if sp + 1 < len(a):
+                    v = a[sp + 1 :]
+                    sp = len(a)
+                else:
+                    ind += 1
+                    if ind >= len(argv):
+                        raise CliError(f"expected argument to option '{c}'")
+                    v = argv[ind]
+                return v
+
+            def opt_arg():
+                nonlocal sp
+                v = a[sp + 1 :] if sp + 1 < len(a) else None
+                sp = len(a)
+                return v
+
+            if c == "h":
+                sys.stdout.write(HELP_TEXT)
+                raise SystemExit(0)
+            elif c == "b":
+                arg = need_arg()
+                if not state.inputs:
+                    v, rest = strtol(arg)
+                    if rest or v <= 1:
+                        raise CliError("block size must be > 1")
+                    state.block_frames = v
+                else:
+                    log.error("warning: block size must be specified before the first input")
+            elif c == "i":
+                state.interactive = True
+            elif c == "I":
+                state.interactive = False
+            elif c == "q":
+                state.show_progress = False
+            elif c == "s":
+                log.set_loglevel(log.LL_SILENT)
+            elif c == "v":
+                log.set_loglevel(log.LL_VERBOSE)
+            elif c == "d":
+                state.force_dither = 1
+            elif c == "D":
+                state.force_dither = -1
+            elif c == "E":
+                state.drain_effects = False
+            elif c == "p":
+                state.plot = 1
+            elif c == "P":
+                state.plot = 2
+            elif c == "V":
+                state.verbose_progress = True
+            elif c == "S":
+                state.input_mode = "sequence"
+            elif c == "X":
+                state.input_mode = "abx"
+                arg = opt_arg()
+                if arg is not None:
+                    v, rest = strtol(arg)
+                    if rest or v < 2:
+                        raise CliError("minimum number of trials is 2")
+                    state.n_trials = v
+            elif c == "o":
+                p.mode = CODEC_MODE_WRITE
+            elif c == "t":
+                p.type = need_arg()
+            elif c == "e":
+                p.enc = need_arg()
+            elif c == "B":
+                p.endian = CODEC_ENDIAN_BIG
+            elif c == "L":
+                p.endian = CODEC_ENDIAN_LITTLE
+            elif c == "N":
+                p.endian = CODEC_ENDIAN_NATIVE
+            elif c == "r":
+                arg = need_arg()
+                try:
+                    fs = int(round(parse_freq(arg)))
+                except ParseError:
+                    raise CliError(f"failed to parse sample rate: {arg}")
+                if fs <= 0:
+                    raise CliError("sample rate must be > 0")
+                p.fs = fs
+            elif c == "c":
+                arg = need_arg()
+                v, rest = strtol(arg)
+                if rest or v <= 0:
+                    raise CliError("number of channels must be > 0")
+                p.channels = v
+            elif c == "R":
+                arg = need_arg()
+                v, rest = strtol(arg)
+                if rest or v <= 0:
+                    raise CliError("buffer ratio must be > 0")
+                p.buf_ratio = v
+            elif c == "n":
+                p.path = "null"
+                p.type = "null"
+                if p.fs == 0:
+                    p.fs = 0
+                return p, timespan, repeats, ind + 1
+            elif c == "T":
+                timespan = need_arg()
+            elif c == "l":
+                arg = opt_arg()
+                if arg is not None:
+                    v, rest = strtol(arg)
+                    if rest:
+                        raise CliError(f"failed to parse number of repeats: {arg}")
+                    repeats = v
+                else:
+                    repeats = -1
+            else:
+                raise CliError(f"unrecognized option '{c}'")
+            sp += 1
+        if consumed:
+            ind += 1
+    if p.buf_ratio == 0:
+        p.buf_ratio = state.output_buf_ratio if p.mode == CODEC_MODE_WRITE else state.input_buf_ratio
+    else:
+        if p.mode == CODEC_MODE_WRITE:
+            state.output_buf_ratio = p.buf_ratio
+        else:
+            state.input_buf_ratio = p.buf_ratio
+    p.block_frames = state.block_frames
+    if ind < len(argv):
+        p.path = argv[ind]
+        ind += 1
+    else:
+        raise CliError("expected path")
+    return p, timespan, repeats, ind
+
+
+class CliError(Exception):
+    pass
+
+
+def _open_input(state, p, timespan, repeats):
+    if p.fs == 0:
+        p.fs = (
+            config.DEFAULT_FS
+            if (not state.inputs or state.input_mode == "sequence")
+            else state.inputs[0].codec.fs
+        )
+    if p.channels == 0:
+        p.channels = (
+            config.DEFAULT_CHANNELS
+            if (not state.inputs or state.input_mode == "sequence")
+            else state.inputs[0].codec.channels
+        )
+    c = init_codec(p)
+    _print_io_info(c, "input")
+    start_pos, end_pos = 0, -1
+    if timespan:
+        start_pos, rest = parse_timespec(timespan, c.fs)
+        end_is_rel = rest.startswith("+")
+        if rest and (end_is_rel or rest.startswith("-")):
+            end_pos, rest2 = parse_timespec(rest[1:], c.fs)
+            if rest2:
+                raise CliError(f"failed to parse end timespec: {timespan}")
+            if end_pos < 0:
+                if end_is_rel:
+                    raise CliError(
+                        f"{c.path}: end timespec must be positive when relative to start timespec"
+                    )
+                end_pos = max(c.frames + end_pos, 0)
+        elif rest:
+            raise CliError(f"failed to parse start timespec: {timespan}")
+        if start_pos < 0:
+            start_pos = max(c.frames + start_pos, 0)
+        if start_pos > 0:
+            got = c.seek(start_pos)
+            if got < 0:
+                raise CliError(f"seek failed: {c.path}")
+            start_pos = got
+        if end_pos >= 0:
+            end_pos = start_pos + end_pos if end_is_rel else end_pos
+            if end_pos < start_pos:
+                log.error("warning: %s: end timespec precedes start timespec", c.path)
+    state.inputs.append(_Input(c, start_pos, end_pos, repeats))
+
+
+def _print_io_info(c, n):
+    frames = c.frames
+    if frames is not None and frames >= 0:
+        secs = frames / c.fs
+        t = f"{int(secs // 3600):02d}:{int(secs // 60) % 60:02d}:{secs % 60:05.2f}"
+    else:
+        t = "00:00:00.00"
+    log.info(
+        "%s: %s; type=%s enc=%s precision=%d channels=%d fs=%d frames=%d [%s]",
+        n, c.path, c.type, c.enc, c.prec, c.channels, c.fs,
+        frames if frames is not None else -1, t,
+    )
+
+
+def should_dither(in_codec, out_codec, needs, force_dither):
+    """SHOULD_DITHER policy (dsp.c:46-48)."""
+    if force_dither == -1:
+        return False
+    if not (out_codec.hints & CODEC_HINT_CAN_DITHER):
+        return False
+    if force_dither == 1:
+        return True
+    return out_codec.prec < 24 and (
+        needs or in_codec.prec > out_codec.prec or not (in_codec.hints & CODEC_HINT_CAN_DITHER)
+    )
+
+
+class OutputWriter:
+    """Clip accounting + optional app-level TPDF dither (dsp.c:673-700)."""
+
+    def __init__(self, state, out_codec):
+        self.state = state
+        self.codec = out_codec
+        self.add_dither = False
+        self.dither_mult = tpdf_dither_get_mult(out_codec.prec)
+        self._noise = TpdfNoise(seed1=np.random.randint(1, 1 << 30), seed2=np.random.randint(1, 1 << 30))
+
+    def write(self, buf):
+        buf = np.asarray(buf, dtype=np.float64)
+        if self.add_dither and self.dither_mult:
+            buf = buf + self._noise.block(buf.size, self.dither_mult).reshape(buf.shape)
+        a = np.abs(buf)
+        m = a.max(initial=0.0)
+        self.state.peak = max(self.state.peak, float(m))
+        if m > 1.0:
+            self.state.clip_count += int(np.count_nonzero(a > 1.0))
+            buf = np.clip(buf, -1.0, 1.0)
+        self.codec.write(buf)
+
+
+def run_offline(state, chain, out_writer, progress_cb=None):
+    """Concatenate-mode batch processing: read -> chain (batched blocks on
+    device) -> write. Many blocks per dispatch amortize the TPU tunnel."""
+    cc = CompiledChain(chain, block_frames=state.block_frames)
+    B = cc.block_frames
+    meta_blocks = max(1, (1 << 20) // max(1, B * chain.istream.channels))  # ~1M samples / dispatch
+    carry = np.zeros((0, chain.istream.channels), dtype=np.float64)
+    discard_left = chain.output_discard
+    written = 0
+
+    def push(chunk, final=False):
+        nonlocal carry, discard_left, written
+        if chunk is not None and len(chunk):
+            carry = np.concatenate([carry, chunk], axis=0) if len(carry) else chunk
+        take = (len(carry) // B) * B
+        pad = 0
+        if final and len(carry) % B:
+            pad = B - (len(carry) % B)
+            carry = np.concatenate(
+                [carry, np.zeros((pad, carry.shape[1]), dtype=np.float64)], axis=0
+            )
+            take = len(carry)
+        if take == 0:
+            return 0
+        xs = carry[:take].reshape(-1, B, carry.shape[1])
+        carry = carry[take:]
+        ys = np.asarray(cc.run_blocks(xs), dtype=np.float64)
+        y = ys.reshape(-1, ys.shape[-1])
+        if pad:
+            # trim output from the zero padding added to complete the last block
+            extra_out = int(pad * chain.ratio)
+            y = y[: len(y) - extra_out] if extra_out <= len(y) else y[:0]
+        if discard_left:
+            d = min(discard_left, len(y))
+            y = y[d:]
+            discard_left -= d
+        out_writer.write(y)
+        cc.host_update()
+        written += len(y)
+        return take
+
+    total_in = 0
+    for inp in state.inputs:
+        c = inp.codec
+        pos = inp.start_pos
+        repeats = inp.repeats
+        while True:
+            want = B * meta_blocks
+            if inp.end_pos >= 0:
+                want = min(want, inp.end_pos - pos)
+            buf = c.read(want) if want > 0 else np.zeros((0, c.channels))
+            if len(buf) == 0:
+                if repeats != 0:
+                    if repeats > 0:
+                        repeats -= 1
+                    if c.seek(inp.start_pos) >= 0:
+                        pos = inp.start_pos
+                        continue
+                break
+            pos += len(buf)
+            total_in += len(buf)
+            push(buf)
+            if progress_cb:
+                progress_cb(total_in, written)
+            if inp.end_pos >= 0 and pos >= inp.end_pos:
+                if repeats != 0:
+                    if repeats > 0:
+                        repeats -= 1
+                    if c.seek(inp.start_pos) >= 0:
+                        pos = inp.start_pos
+                        continue
+                break
+    # drain (feed chain.drain_frames of silence; effects_chain.c:1186-1218)
+    if state.drain_effects and chain.drain_frames > 0:
+        drain_in = np.zeros((chain.drain_frames, chain.istream.channels), dtype=np.float64)
+        push(drain_in, final=True)
+    else:
+        push(None, final=True)
+    cc.host_finish()
+    return written
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    state = CliState()
+    log.set_prog_name("dsp")
+    ind = 0
+    try:
+        while ind < len(argv) and not _is_chain_start(argv[ind]):
+            p, timespan, repeats, ind = _parse_codec_params(state, argv, ind)
+            if p.mode == CODEC_MODE_WRITE:
+                if timespan:
+                    log.error("warning: ignoring '-T' option for output: %s", p.path)
+                if repeats:
+                    log.error("warning: ignoring '-l' option for output: %s", p.path)
+                state.out_params = p
+            else:
+                _open_input(state, p, timespan, repeats)
+    except (CliError, CodecError, ParseError) as e:
+        log.error("dsp: error: %s", e)
+        return 1
+
+    if state.input_mode != "sequence":
+        for inp in state.inputs[1:]:
+            if inp.codec.fs != state.inputs[0].codec.fs:
+                log.error("error: all inputs must have the same sample rate")
+                return 1
+            if inp.codec.channels != state.inputs[0].codec.channels:
+                log.error("error: all inputs must have the same number of channels")
+                return 1
+
+    if not state.inputs:
+        log.error("error: no inputs")
+        return 1
+
+    chain_args = argv[ind:]
+    stream = StreamInfo(state.inputs[0].codec.fs, state.inputs[0].codec.channels)
+
+    try:
+        chain = build_chain_from_args(chain_args, stream)
+    except (ChainParseError, ChainError) as e:
+        log.error("%s", str(e))
+        return 1
+
+    if state.plot:
+        try:
+            sys.stdout.write(plot_chain(chain, state.plot > 1))
+        except PlotError as e:
+            log.error("%s", e)
+            return 1
+        return 0
+
+    # open output
+    p = state.out_params or CodecParams(
+        path="null", type="null", mode=CODEC_MODE_WRITE, buf_ratio=state.output_buf_ratio
+    )
+    p.mode = CODEC_MODE_WRITE
+    if not p.path:
+        p.path = "default"
+    if p.fs == 0:
+        p.fs = chain.ostream.fs
+    if p.channels == 0:
+        p.channels = chain.ostream.channels
+    p.block_frames = state.block_frames
+    try:
+        out_codec = init_codec(p)
+    except CodecError as e:
+        log.error("error: failed to open output: %s", e)
+        return 1
+    _print_io_info(out_codec, "output")
+    if out_codec.fs != chain.ostream.fs:
+        log.error("error: sample rate mismatch: %s", out_codec.path)
+        return 1
+    if out_codec.channels != chain.ostream.channels:
+        log.error("error: channels mismatch: %s", out_codec.path)
+        return 1
+
+    writer = OutputWriter(state, out_codec)
+    in_codec = state.inputs[0].codec
+    needs = chain_needs_dither(chain)
+    do_dither = should_dither(in_codec, out_codec, needs, state.force_dither)
+    writer.add_dither = chain_set_dither_params(chain, out_codec.prec, do_dither)
+    log.verbose(
+        "info: auto dither %s%s",
+        "on" if do_dither else "off",
+        " (effect)" if do_dither and not writer.add_dither else "",
+    )
+
+    try:
+        run_offline(state, chain, writer)
+    except KeyboardInterrupt:
+        log.info("interrupted")
+    finally:
+        for inp in state.inputs:
+            inp.codec.close()
+        out_codec.close()
+    if state.clip_count > 0:
+        log.info(
+            "warning: clipped %d samples (%.2fdBFS peak)",
+            state.clip_count,
+            20 * np.log10(state.peak) if state.peak > 0 else -np.inf,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -290,3 +290,57 @@ def format_dur(seconds):
     if m:
         return f"{sign}{m}:{sec:05.2f}"
     return f"{sign}{sec:.2f}"
+
+
+def getopt(argv, optstring):
+    """POSIX-style option scan matching dsp_getopt (util.c:374-418).
+
+    optstring: chars, ':' = required arg, '::' = optional arg (attached only).
+    Returns (options, operand_index): options is a list of (char, arg_or_None);
+    scanning stops at the first non-option argument or '--'.
+    Raises ParseError on unknown options or missing required arguments.
+    """
+    spec = {}
+    i = 0
+    while i < len(optstring):
+        c = optstring[i]
+        n = 0
+        while i + 1 + n < len(optstring) and optstring[i + 1 + n] == ":":
+            n += 1
+        spec[c] = n  # 0 = flag, 1 = required, 2 = optional
+        i += 1 + n
+    opts = []
+    ind = 0
+    while ind < len(argv):
+        a = argv[ind]
+        if len(a) < 2 or a[0] != "-" or a == "-":
+            break
+        if a == "--":
+            ind += 1
+            break
+        # a[0] == '-' but could be a negative number operand
+        if a[1] not in spec and not a[1].isalpha():
+            break
+        sp = 1
+        while sp < len(a):
+            c = a[sp]
+            if c not in spec:
+                raise ParseError(f"unknown option: -{c}")
+            kind = spec[c]
+            if kind == 0:
+                opts.append((c, None))
+                sp += 1
+            elif kind == 1:
+                if sp + 1 < len(a):
+                    opts.append((c, a[sp + 1 :]))
+                elif ind + 1 < len(argv):
+                    ind += 1
+                    opts.append((c, argv[ind]))
+                else:
+                    raise ParseError(f"option requires an argument: -{c}")
+                break
+            else:  # optional, attached only
+                opts.append((c, a[sp + 1 :] if sp + 1 < len(a) else None))
+                break
+        ind += 1
+    return opts, ind

@@ -1,0 +1,10 @@
+"""ladspa_host effect — placeholder registration (implementation pending)."""
+
+from dsp_tpu.effects.base import EffectError, register_effect
+
+
+def _init(ei, istream, selector, dir_, argv):
+    raise EffectError(f"{argv[0]}: effect not yet implemented in this build")
+
+
+register_effect("ladspa_host", """ladspa_host [~/]module_path plugin_label [control ...]""", _init)

@@ -1,0 +1,10 @@
+"""levels effect — placeholder registration (implementation pending)."""
+
+from dsp_tpu.effects.base import EffectError, register_effect
+
+
+def _init(ei, istream, selector, dir_, argv):
+    raise EffectError(f"{argv[0]}: effect not yet implemented in this build")
+
+
+register_effect("levels", """levels [-t time_const]""", _init)
