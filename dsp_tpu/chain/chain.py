@@ -424,8 +424,14 @@ class CompiledChain:
             q = lcm(q, r.denominator)
         self.block_frames = -(-block_frames // q) * q
         self.out_frames = int(self.block_frames * chain.ratio)
+        # per-effect input block size (rate changes alter it mid-chain)
+        self._block_at = {}
+        frames = Fraction(self.block_frames)
+        for e in chain.effects:
+            self._block_at[id(e)] = int(frames)
+            frames *= e.ratio
         self._runtime_effects = [e for e in chain.effects if not getattr(e, "runtime_noop", False)]
-        self.states = [self._to_device(e.state0()) for e in self._runtime_effects]
+        self.states = [self._initial_state(e) for e in self._runtime_effects]
 
         def step(states, x):
             new_states = []
@@ -441,6 +447,11 @@ class CompiledChain:
         self._multi = jax.jit(multi)
         self._step_fn_raw = step
 
+    def _initial_state(self, e):
+        if hasattr(e, "state_for_block"):
+            return self._to_device(e.state_for_block(self._block_at[id(e)]))
+        return self._to_device(e.state0())
+
     def _to_device(self, tree):
         import jax
 
@@ -448,12 +459,15 @@ class CompiledChain:
             a = np.asarray(a)
             if a.dtype in (np.float64, np.float32):
                 return jax.numpy.asarray(a, dtype=self.dtype)
+            if a.dtype in (np.complex128, np.complex64):
+                cdt = np.complex64 if self.dtype == np.float32 else np.complex128
+                return jax.numpy.asarray(a, dtype=cdt)
             return jax.numpy.asarray(a)
 
         return jax.tree_util.tree_map(conv, tree)
 
     def reset(self):
-        self.states = [self._to_device(e.state0()) for e in self._runtime_effects]
+        self.states = [self._initial_state(e) for e in self._runtime_effects]
 
     def run_block(self, x):
         """x: [block_frames, in_ch] -> [out_frames, out_ch] (device arrays ok)."""

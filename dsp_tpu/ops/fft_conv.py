@@ -1,0 +1,129 @@
+"""FFT convolution engines (reference: /root/reference/fir.c, fir_p.c,
+zita_convolver.cpp).
+
+Two TPU-native designs replace the reference's three CPU engines:
+
+* ``ols``: zero-latency single-FFT overlap-save over the chain block. The
+  reference's fir.c buffers fft_len input frames (latency = fft_len); on TPU
+  one batched rFFT over [history | block] gives the exact convolution with
+  ZERO latency — strictly better than the reference's documented behavior.
+  Used for filters whose length is of the order of the block size.
+
+* ``upols``: uniform partitioned overlap-save with a frequency-domain delay
+  line (FDL). The filter is split into partitions of one block; each step is
+  one rFFT, a batched complex multiply-accumulate over the FDL (a tensor
+  contraction that XLA maps to the MXU), and one irFFT. This replaces both
+  fir_p.c's non-uniform partitions + worker threads and zita_convolver's
+  internal threading: the latency-hiding the reference gets from threads is
+  unnecessary because the whole MAC is a single fused device op.
+
+Both operate per chain block with static shapes; state is carried in the
+effect's pytree.
+"""
+
+import numpy as np
+
+
+def next_fast_len(n):
+    """Smallest 2^a*3^b*5^c*7^d >= n (util.c:434-458)."""
+    if n <= 1:
+        return 1
+    best = n * 7
+    p2 = 1
+    while p2 <= 2 * n:
+        p3 = p2
+        while p3 <= 2 * n:
+            p5 = p3
+            while p5 <= 2 * n:
+                p7 = p5
+                while p7 <= 2 * n:
+                    if n <= p7 < best:
+                        best = p7
+                    p7 *= 7
+                p5 *= 5
+            p3 *= 3
+        p2 *= 2
+    return best
+
+
+class OlsConv:
+    """Zero-latency overlap-save convolution of a fixed block size.
+
+    filters: [C, F] float64 per-channel impulse responses (identity rows give
+    passthrough). Call make(block) once; step(state, x) per block.
+    """
+
+    def __init__(self, filters, block_frames):
+        filters = np.asarray(filters, dtype=np.float64)
+        self.C, self.F = filters.shape
+        self.B = block_frames
+        self.N = next_fast_len(self.B + self.F - 1)
+        self.H = np.fft.rfft(
+            np.concatenate([filters, np.zeros((self.C, self.N - self.F))], axis=1), axis=1
+        )  # [C, N//2+1]
+        self.hist = self.F - 1  # carried input history
+
+    def state0(self):
+        return np.zeros((self.hist, self.C), dtype=np.float64)
+
+    def step(self, state, x):
+        import jax.numpy as jnp
+
+        B = x.shape[0]
+        assert B == self.B
+        buf = jnp.concatenate([state.astype(x.dtype), x], axis=0)  # [hist+B, C]
+        pad = self.N - (self.hist + B)
+        xt = jnp.concatenate([buf, jnp.zeros((pad, self.C), dtype=x.dtype)], axis=0)
+        X = jnp.fft.rfft(xt, axis=0)
+        H = jnp.asarray(self.H.T)  # [N//2+1, C]
+        Y = X * H
+        y = jnp.fft.irfft(Y, n=self.N, axis=0).astype(x.dtype)
+        out = y[self.hist : self.hist + B]
+        new_state = buf[-self.hist :] if self.hist > 0 else state
+        return new_state, out
+
+
+class UpolsConv:
+    """Uniform partitioned overlap-save with a frequency-domain delay line.
+
+    filters: [C, F]. Partition length = block_frames; FFT size 2*block.
+    Per step: push rfft([prev_block, block]) into the FDL, multiply-accumulate
+    against the partitioned filter spectra, irfft, keep the valid half.
+    """
+
+    def __init__(self, filters, block_frames):
+        filters = np.asarray(filters, dtype=np.float64)
+        self.C, self.F = filters.shape
+        self.B = B = block_frames
+        self.K = K = max(1, -(-self.F // B))
+        self.N = 2 * B
+        parts = np.zeros((K, self.C, B), dtype=np.float64)
+        for k in range(K):
+            seg = filters[:, k * B : (k + 1) * B]
+            parts[k, :, : seg.shape[1]] = seg
+        self.Hf = np.fft.rfft(
+            np.concatenate([parts, np.zeros((K, self.C, B))], axis=2), axis=2
+        )  # [K, C, B+1]
+
+    def state0(self):
+        return {
+            "prev": np.zeros((self.B, self.C), dtype=np.float64),
+            "fdl": np.zeros((self.K, self.B + 1, self.C), dtype=np.complex128),
+        }
+
+    def step(self, state, x):
+        import jax.numpy as jnp
+
+        B = self.B
+        assert x.shape[0] == B
+        seg = jnp.concatenate([state["prev"].astype(x.dtype), x], axis=0)  # [2B, C]
+        X = jnp.fft.rfft(seg, axis=0)  # [B+1, C]
+        cdtype = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+        fdl = jnp.concatenate(
+            [X[None].astype(cdtype), state["fdl"][:-1].astype(cdtype)], axis=0
+        )  # [K, B+1, C]
+        H = jnp.asarray(np.transpose(self.Hf, (0, 2, 1)))  # [K, B+1, C]
+        Y = (fdl * H.astype(cdtype)).sum(axis=0)  # [B+1, C]
+        y = jnp.fft.irfft(Y, n=self.N, axis=0).astype(x.dtype)
+        out = y[B:]
+        return {"prev": x, "fdl": fdl}, out

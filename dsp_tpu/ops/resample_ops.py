@@ -1,0 +1,163 @@
+"""Rational-ratio spectral resampler (reference: /root/reference/resample.c).
+
+Windowed-sinc prototype (Albrecht 9-term window, -220 dB stopband, up to 2x
+oversampled) applied by frequency-domain convolution: each inner block
+consumes in_len = d*L input frames and produces out_len = n*L output frames.
+Rate conversion happens in the spectral multiply: the input spectrum is
+conjugate-mirrored (periodized) across the lcm-rate band while the product is
+aliased (folded) back into the output band — the index walk of
+resample.c:116-131 — with 50% overlap-add.
+
+The index walk is precomputed on the host into gather/scatter tables; the
+device step is rfft -> gather -> complex multiply -> segment-sum -> irfft,
+wrapped in a lax.scan over inner blocks when the chain block holds several.
+"""
+
+from math import gcd
+
+import numpy as np
+
+from dsp_tpu.ops.fft_conv import next_fast_len
+
+M_FACT = 17.7822
+_ALBRECHT9 = np.array(
+    [
+        2.318028013590306028393e-1, 3.932575471789488615081e-1, 2.385434764970747429454e-1,
+        1.014370437785239811268e-1, 2.911516061918003918645e-2, 5.280988177252078698806e-3,
+        5.382909093381945363528e-4, 2.442086527507867730168e-5, 2.706153764205043532817e-7,
+    ]
+)
+SINC_MAX_OVERSAMPLE = 2
+
+
+def _window(x):
+    if x >= 1.0 or x <= 0.0:
+        return 0.0
+    i = np.arange(len(_ALBRECHT9))
+    c = np.where(i % 2 == 1, -_ALBRECHT9, _ALBRECHT9)
+    return float(np.sum(c * np.cos(2 * i * np.pi * x)))
+
+
+def _norm_sinc(x, fc):
+    if abs(x) < 1e-9:
+        return fc
+    return np.sin(np.pi * fc * x) / (np.pi * x)
+
+
+class SpectralResampler:
+    """Plan + tables for one (in_fs, out_fs, bandwidth) conversion."""
+
+    def __init__(self, in_fs, out_fs, bw=0.939):
+        self.in_fs, self.out_fs = in_fs, out_fs
+        g = gcd(in_fs, out_fs)
+        self.n = out_fs // g
+        self.d = in_fs // g
+        max_rate, min_rate = max(in_fs, out_fs), min(in_fs, out_fs)
+        max_factor, min_factor = max(self.n, self.d), min(self.n, self.d)
+
+        m = int(round(2.0 * M_FACT * max_rate / (min_rate * (1.0 - bw))))
+        width = M_FACT * max_rate / m
+        fc = (min_rate - width) / max_rate
+        sinc_os = min(min_factor, SINC_MAX_OVERSAMPLE)
+        fc_os = fc / sinc_os
+        m_os = (m + 1) * sinc_os - 1
+        m1 = m
+        len_mult = -(-(m1 + 1) // max_factor)
+        if len_mult > 16:
+            fast = next_fast_len(len_mult)
+            if fast != len_mult and (
+                self.n <= 16
+                or self.d <= 16
+                or next_fast_len(self.n) == self.n
+                or next_fast_len(self.d) == self.d
+            ):
+                len_mult = fast
+        sinc_len = max_factor * len_mult * sinc_os
+        self.in_len = self.d * len_mult
+        self.out_len = self.n * len_mult
+        self.sinc_fr_len = sinc_len + 1
+        if out_fs == max_rate:
+            self.out_delay = m1 // 2
+        else:
+            self.out_delay = int(round(m1 // 2 * (self.n / self.d)))
+        self.filter_len = m1 + 1
+        self.width = width
+        self.fc = fc
+        self.sinc_os = sinc_os
+
+        # windowed sinc prototype and its spectrum
+        sinc = np.zeros(sinc_len * 2, dtype=np.float64)
+        for i in range(1, m_os):
+            sinc[i] = _norm_sinc((i * 2 - m_os) / 2.0, fc_os) * _window(i / m_os)
+        self.sinc_fr = np.fft.rfft(sinc)[: self.sinc_fr_len]
+
+        self._build_tables()
+
+    def _build_tables(self):
+        """Simulate the spectral index walk (resample.c:116-131) into COO
+        tables: for each contribution: input bin j, filter bin k, output bin
+        l, conj flags."""
+        in_len, out_len = self.in_len, self.out_len
+        ks, js, ls, c1s, c2s = [0], [0], [0], [False], [False]
+        k, j, l, d1, d2 = 1, 1, 1, 1, 1
+        while True:
+            ks.append(k)
+            js.append(j)
+            ls.append(l)
+            c1s.append(d1 != 1)
+            c2s.append(d2 != 1)
+            if k + 1 == self.sinc_fr_len:
+                break
+            if l == out_len:
+                ks.append(k); js.append(j); ls.append(l)
+                c1s.append(d1 != 1); c2s.append(False)
+            elif l == 0:
+                ks.append(k); js.append(j); ls.append(l)
+                c1s.append(d1 != 1); c2s.append(True)
+            j += d1
+            l += d2
+            if j == 0:
+                d1 = 1
+            elif j == in_len:
+                d1 = -1
+            if l == 0:
+                d2 = 1
+            elif l == out_len:
+                d2 = -1
+            k += 1
+        self.tab_k = np.array(ks, dtype=np.int32)
+        self.tab_j = np.array(js, dtype=np.int32)
+        self.tab_l = np.array(ls, dtype=np.int32)
+        self.tab_c1 = np.array(c1s, dtype=bool)
+        self.tab_c2 = np.array(c2s, dtype=bool)
+        # sign convention folded into precomputed complex filter weights:
+        # value = conj^c2( conj^c1(X[j]) * S[k] )
+        self.tab_s = self.sinc_fr[self.tab_k]
+
+    def state0(self, channels):
+        """Overlap-add carry [out_len, C] (blocks are exact-length)."""
+        return np.zeros((self.out_len, channels), dtype=np.float64)
+
+    def block(self, overlap, x):
+        """One inner block: x [in_len, C] -> (overlap', y [out_len, C])."""
+        import jax.numpy as jnp
+
+        in_len, out_len = self.in_len, self.out_len
+        C = x.shape[1]
+        cdt = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+        xt = jnp.concatenate([x, jnp.zeros((in_len, C), dtype=x.dtype)], axis=0)
+        X = jnp.fft.rfft(xt, axis=0).astype(cdt)  # [in_len+1, C]
+        g = X[jnp.asarray(self.tab_j)]  # [T, C]
+        c1 = jnp.asarray(self.tab_c1)[:, None]
+        g = jnp.where(c1, jnp.conj(g), g)
+        s = jnp.asarray(self.tab_s.astype(np.complex64 if x.dtype == jnp.float32 else np.complex128))
+        v = g * s[:, None]
+        c2 = jnp.asarray(self.tab_c2)[:, None]
+        v = jnp.where(c2, jnp.conj(v), v)
+        import jax
+
+        Y = jax.ops.segment_sum(v, jnp.asarray(self.tab_l), num_segments=out_len + 1)
+        y2 = jnp.fft.irfft(Y, n=out_len * 2, axis=0).astype(x.dtype) * (out_len / in_len)
+        y = y2[:out_len] + overlap.astype(x.dtype)
+        new_overlap = y2[out_len:]
+        return new_overlap, y
