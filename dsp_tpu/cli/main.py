@@ -441,6 +441,20 @@ def run_offline(state, chain, out_writer, progress_cb=None):
     return written
 
 
+def _reopen_output(state, chain):
+    p = state.out_params or CodecParams(
+        path="null", type="null", mode=CODEC_MODE_WRITE, buf_ratio=state.output_buf_ratio
+    )
+    p = type(p)(**vars(p)) if not isinstance(p, CodecParams) else CodecParams(**vars(p))
+    p.mode = CODEC_MODE_WRITE
+    if not p.path:
+        p.path = "default"
+    p.fs = chain.ostream.fs
+    p.channels = chain.ostream.channels
+    p.block_frames = state.block_frames
+    return init_codec(p)
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     state = CliState()
@@ -527,8 +541,26 @@ def main(argv=None):
         " (effect)" if do_dither and not writer.add_dither else "",
     )
 
+    ret = 0
     try:
-        run_offline(state, chain, writer)
+        if state.input_mode == "abx":
+            from dsp_tpu.cli.interactive import run_abx
+
+            ret = run_abx(state, chain_args, stream, writer, out_codec, state.n_trials)
+        elif state.interactive:
+            from dsp_tpu.cli.interactive import run_interactive
+
+            ret = run_interactive(state, chain_args, stream, writer, out_codec)
+        elif state.input_mode == "sequence":
+            ret = _run_sequence(state, chain_args, writer, out_codec)
+        elif any(type(e).__name__ == "WatchEffect" for e in chain.effects):
+            # watch needs per-block reload checks + crossfade: use the
+            # streaming loop (keys inactive without a tty)
+            from dsp_tpu.cli.interactive import run_interactive
+
+            ret = run_interactive(state, chain_args, stream, writer, out_codec)
+        else:
+            run_offline(state, chain, writer)
     except KeyboardInterrupt:
         log.info("interrupted")
     finally:
@@ -541,6 +573,43 @@ def main(argv=None):
             state.clip_count,
             20 * np.log10(state.peak) if state.peak > 0 else -np.inf,
         )
+    return ret
+
+
+def _run_sequence(state, chain_args, writer, out_codec):
+    """Sequence mode: rebuild the chain / reopen the output when the input
+    format changes (dsp.c:1444-1452)."""
+    all_inputs = state.inputs
+    i = 0
+    cur_out = out_codec
+    while i < len(all_inputs):
+        stream = StreamInfo(all_inputs[i].codec.fs, all_inputs[i].codec.channels)
+        group = [all_inputs[i]]
+        i += 1
+        while (
+            i < len(all_inputs)
+            and all_inputs[i].codec.fs == stream.fs
+            and all_inputs[i].codec.channels == stream.channels
+        ):
+            group.append(all_inputs[i])
+            i += 1
+        chain = build_chain_from_args(chain_args, stream)
+        if cur_out.fs != chain.ostream.fs or cur_out.channels != chain.ostream.channels:
+            log.info("info: reopening output for new stream format")
+            cur_out.close()
+            cur_out = _reopen_output(state, chain)
+            writer.codec = cur_out
+            writer.dither_mult = tpdf_dither_get_mult(cur_out.prec)
+        needs = chain_needs_dither(chain)
+        do = should_dither(group[0].codec, cur_out, needs, state.force_dither)
+        writer.add_dither = chain_set_dither_params(chain, cur_out.prec, do)
+        sub_state = state
+        saved_inputs = state.inputs
+        state.inputs = group
+        try:
+            run_offline(sub_state, chain, writer)
+        finally:
+            state.inputs = saved_inputs
     return 0
 
 
