@@ -73,8 +73,29 @@ class PcmCodec(Codec):
         else:
             self.frames = -1
         self._pos = 0
+        # native prefetching reader (dspio) when built and little-endian
+        self._native = None
+        if (
+            params.mode == CODEC_MODE_READ
+            and self._seekable
+            and self._endian == "<"
+            and params.path != "-"
+        ):
+            from dsp_tpu.codecs import native
+
+            if native.available():
+                try:
+                    self._native = native.NativeReader(
+                        params.path, enc, self.channels, 0, self.frames
+                    )
+                except OSError:
+                    self._native = None
 
     def read(self, frames):
+        if self._native is not None:
+            buf = self._native.read(frames)
+            self._pos += len(buf)
+            return buf
         data = self._f.read(frames * self._frame_bytes)
         n = len(data) // self._frame_bytes
         data = data[: n * self._frame_bytes]
@@ -93,11 +114,17 @@ class PcmCodec(Codec):
             return -1
         if self.frames > 0:
             pos = min(max(pos, 0), self.frames)
-        self._f.seek(pos * self._frame_bytes)
+        if self._native is not None:
+            self._native.seek(pos)
+        else:
+            self._f.seek(pos * self._frame_bytes)
         self._pos = pos
         return pos
 
     def close(self):
+        if self._native is not None:
+            self._native.close()
+            self._native = None
         if self._f not in (sys.stdin.buffer, sys.stdout.buffer):
             self._f.close()
 

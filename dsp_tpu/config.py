@@ -20,6 +20,16 @@ import jax
 # /root/reference/dsp.h:42). Compute dtype on TPU remains float32 by default.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the analog of the reference's FFTW wisdom
+# (DSP_FFTW_WISDOM_PATH, util.c:474-500). Plans/compilations accumulate
+# across runs when a cache path is set.
+_cache_dir = os.environ.get("DSP_TPU_COMPILE_CACHE") or os.environ.get(
+    "DSP_FFTW_WISDOM_PATH"
+)
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -1,0 +1,105 @@
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from dsp_tpu.chain import CompiledChain, build_chain_from_string
+from dsp_tpu.core.types import StreamInfo
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "amp_plugin.c")
+
+
+@pytest.fixture(scope="module")
+def amp_so(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ladspa")
+    so = str(d / "amp_plugin.so")
+    r = subprocess.run(["gcc", "-shared", "-fPIC", "-O2", "-o", so, FIXTURE])
+    if r.returncode != 0:
+        pytest.skip("no C compiler")
+    return so
+
+
+class TestLadspaHost:
+    def test_gain_control(self, amp_so):
+        c = build_chain_from_string(f"ladspa_host {amp_so} test_amp 0.5", StreamInfo(44100, 2))
+        cc = CompiledChain(c, block_frames=128)
+        x = np.full((128, 2), 0.8)
+        y = np.asarray(cc.run_block(x))
+        assert np.allclose(y, 0.4, atol=1e-6)
+
+    def test_default_control(self, amp_so):
+        c = build_chain_from_string(f"ladspa_host {amp_so} test_amp", StreamInfo(44100, 1))
+        cc = CompiledChain(c, block_frames=64)
+        y = np.asarray(cc.run_block(np.full((64, 1), 0.3)))
+        assert np.allclose(y, 0.3, atol=1e-6)
+
+    def test_bad_label(self, amp_so):
+        from dsp_tpu.chain.parser import ChainParseError
+
+        with pytest.raises(ChainParseError):
+            build_chain_from_string(f"ladspa_host {amp_so} nope", StreamInfo(44100, 1))
+
+    def test_selector_subset(self, amp_so):
+        c = build_chain_from_string(f":0 ladspa_host {amp_so} test_amp 2.0", StreamInfo(44100, 2))
+        cc = CompiledChain(c, block_frames=64)
+        x = np.full((64, 2), 0.25)
+        y = np.asarray(cc.run_block(x))
+        assert np.allclose(y[:, 0], 0.5, atol=1e-6)
+        assert np.allclose(y[:, 1], 0.25, atol=1e-6)
+
+
+class TestPluginApi:
+    def test_config_discovery_and_run(self, tmp_path, monkeypatch):
+        d = tmp_path / "cfg"
+        d.mkdir()
+        (d / "config_t").write_text(
+            "input_channels=2\noutput_channels=2\nLC_NUMERIC=C\n"
+            "[effects_chain]\ngain -6\n"
+        )
+        (d / "config").write_text("effects_chain=gain -3\n")
+        monkeypatch.setenv("LADSPA_DSP_CONFIG_PATH", str(d))
+        from dsp_tpu import plugin
+
+        labels = [c.label for c in plugin.discover_plugins()]
+        assert "ladspa_dsp" in labels and "ladspa_dsp:t" in labels
+        p = plugin.load("ladspa_dsp:t", fs=48000, block_frames=256)
+        x = np.ones((1000, 2)) * 0.5
+        y = np.concatenate([p.run(x[:300]), p.run(x[300:])])
+        assert y.shape == (1000, 2)
+        L = p.latency
+        assert np.allclose(y[L:], 0.5 * 10 ** (-6 / 20), atol=1e-9)
+        assert np.allclose(y[:L], 0.0)
+
+    def test_output_channels_validated(self, tmp_path, monkeypatch):
+        d = tmp_path / "cfg"
+        d.mkdir()
+        (d / "config").write_text("output_channels=4\neffects_chain=gain -3\n")
+        monkeypatch.setenv("LADSPA_DSP_CONFIG_PATH", str(d))
+        from dsp_tpu import plugin
+
+        with pytest.raises(plugin.PluginError):
+            plugin.load("ladspa_dsp", fs=44100)
+
+
+class TestNativeIO:
+    def test_native_matches_python(self, tmp_path, rng):
+        from dsp_tpu.codecs import native
+
+        if not native.available():
+            pytest.skip("libdspio not built")
+        from dsp_tpu.codecs import CodecParams, init_codec, CODEC_MODE_READ, CODEC_MODE_WRITE
+
+        x = rng.uniform(-0.9, 0.9, (10000, 2))
+        path = str(tmp_path / "n.wav")
+        w = init_codec(CodecParams(path, type="wav", enc="s24", fs=44100, channels=2, mode=CODEC_MODE_WRITE))
+        w.write(x)
+        w.close()
+        r = init_codec(CodecParams(path, mode=CODEC_MODE_READ))
+        assert r._native is not None
+        y = r.read(6000)
+        r.seek(2000)
+        y2 = r.read(1000)
+        r.close()
+        assert np.abs(y - x[:6000]).max() < 2**-23
+        assert np.abs(y2 - x[2000:3000]).max() < 2**-23
