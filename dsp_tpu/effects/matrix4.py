@@ -636,10 +636,16 @@ class Matrix4Effect(Effect):
                 self._statusline = terminal.Statusline()
                 terminal.register(self._statusline)
             lr, cs = aux[-1, 0], aux[-1, 1]
-            lr_d, cs_d = np.degrees(lr), np.degrees(cs)
-            self._statusline.set(
-                f"{self.name}: lr: {lr_d:+06.2f}; cs: {cs_d:+06.2f}"
-            )
+            off = " [off]" if bool(np.asarray(state["disable"])) else ""
+            if self.cfg.status_type == "text":
+                self._statusline.set(
+                    f"{self.name}{off}: lr: {np.degrees(lr):+06.2f} ({np.degrees(aux[-1, 2]):+06.2f}); "
+                    f"cs: {np.degrees(cs):+06.2f} ({np.degrees(aux[-1, 3]):+06.2f})"
+                )
+            else:
+                self._statusline.set(
+                    f"{self.name}{off}: L[{draw_steering_bar(lr)}]R; C[{draw_steering_bar(cs)}]S"
+                )
 
     def host_finish(self, state):
         from dsp_tpu.cli import terminal
@@ -658,3 +664,20 @@ register_effect(
     "matrix4 [options ...] [surround_level][/surround_level_rear]",
     matrix4_effect_init,
 )
+
+
+def draw_steering_bar(a, is_event=False):
+    """31-char steering bar (matrix4_common.c:981-1002)."""
+    s = [" "] * 31
+    i = int(round(float(a) * (-15 / m4.M_PI_4))) + 15
+    i = min(max(i, 0), 30)
+    cursor_c = "#" if is_event else "*"
+    fill_c = "=" if is_event else "-"
+    if i > 15:
+        for j in range(15, i):
+            s[j] = fill_c
+    elif i < 15:
+        for j in range(i + 1, 15):
+            s[j] = fill_c
+    s[i] = cursor_c
+    return "".join(s)

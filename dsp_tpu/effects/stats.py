@@ -56,6 +56,7 @@ class StatsEffect(Effect):
         self.interp = interp
         self._table = _design_interp_filter() if interp else None
         self._final = None
+        self._tail_padding = 0  # zero frames appended by the runner's final block
 
     def state0(self):
         n = len(self.sel_idx)
@@ -125,12 +126,17 @@ class StatsEffect(Effect):
         new["samples"] = s["samples"] + B
         return new, x
 
+    def set_tail_padding(self, frames):
+        """Runner reports trailing zero-pad frames so counters exclude them."""
+        self._tail_padding = int(frames)
+
     def host_finish(self, state):
         s = {k: np.asarray(v) for k, v in state.items()}
         self._final = s
         n = len(self.sel_idx)
-        samples = int(s["samples"])
-        if samples == 0:
+        samples = int(s["samples"]) - self._tail_padding
+        s["samples"] = np.int64(samples)
+        if samples <= 0:
             return
         width = self.width
         if width < 0:

@@ -164,6 +164,7 @@ struct Reader {
     int64_t block_frames = 16384;
     std::vector<double> leftover;
     size_t leftover_off = 0;
+    bool consumer_eof = false;  // consumer saw the EOF marker
     std::atomic<bool> stop{false};
     std::atomic<bool> eof{false};
     bool seek_requested = false;
@@ -232,6 +233,7 @@ struct Reader {
         int64_t out = 0;
         const int ch = channels;
         while (out < want_frames) {
+            if (consumer_eof) break;
             if (leftover_off < leftover.size()) {
                 int64_t avail = (int64_t)(leftover.size() - leftover_off) / ch;
                 int64_t take = std::min<int64_t>(avail, want_frames - out);
@@ -248,7 +250,7 @@ struct Reader {
             queue.pop_front();
             lk.unlock();
             cv_space.notify_all();
-            if (blk.empty()) break;  // EOF marker
+            if (blk.empty()) { consumer_eof = true; break; }  // EOF marker
             leftover = std::move(blk);
             leftover_off = 0;
         }
@@ -262,6 +264,7 @@ struct Reader {
             seek_target = target;
             leftover.clear();
             leftover_off = 0;
+            consumer_eof = false;
             queue.clear();  // drop already-decoded stale blocks immediately
         }
         cv_space.notify_all();

@@ -1,0 +1,134 @@
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    JAX_PLATFORM_NAME="cpu",
+    PYTHONPATH=REPO,
+)
+
+
+def run_dsp(args, timeout=110):
+    return subprocess.run(
+        [sys.executable, "-m", "dsp_tpu.cli.main"] + args,
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+def read_wav(path):
+    from dsp_tpu.codecs import CodecParams, init_codec
+
+    r = init_codec(CodecParams(path))
+    y = r.read(10**7)
+    info = (r.fs, r.channels)
+    r.close()
+    return y, info
+
+
+class TestCliBasics:
+    def test_sgen_to_wav(self, tmp_path):
+        out = str(tmp_path / "o.wav")
+        r = run_dsp(["-q", "-t", "sgen", "sine:freq=1k+0.2", "-o", "-t", "wav",
+                     "-e", "double", out, "gain", "-6"])
+        assert r.returncode == 0, r.stderr
+        y, (fs, ch) = read_wav(out)
+        assert fs == 44100 and ch == 1
+        # sine samples don't land exactly on the crest: generous tolerance
+        assert abs(np.abs(y).max() - 10 ** (-6 / 20)) < 1e-4
+
+    def test_plot_mode(self):
+        r = run_dsp(["-pn", "eq", "1k", "1.0", "+3"])
+        assert r.returncode == 0
+        assert "Ht0_mag_dB" in r.stdout
+        assert "pause mouse close" in r.stdout
+
+    def test_unknown_effect_error(self):
+        # an unknown leading word is treated as another input path (like the
+        # reference's IS_EFFECTS_CHAIN_START); a bogus word after a valid
+        # effect is a chain error with a caret diagnostic
+        r = run_dsp(["-n", "{", "bogus_effect", "}"])
+        assert r.returncode != 0
+        assert "no such effect" in r.stderr
+        assert "^" in r.stderr
+
+    def test_time_range(self, tmp_path):
+        out = str(tmp_path / "o.wav")
+        r = run_dsp(["-q", "-T", "0.1+0.05", "-t", "sgen", "sine:freq=1k+1",
+                     "-o", "-t", "wav", "-e", "double", out, "gain", "0"])
+        assert r.returncode == 0, r.stderr
+        y, _ = read_wav(out)
+        assert abs(len(y) - 0.05 * 44100) < 3
+
+    def test_repeat(self, tmp_path):
+        out = str(tmp_path / "o.wav")
+        r = run_dsp(["-q", "-l1", "-t", "sgen", "sine:freq=1k+0.1",
+                     "-o", "-t", "wav", "-e", "double", out, "gain", "0"])
+        assert r.returncode == 0, r.stderr
+        y, _ = read_wav(out)
+        assert abs(len(y) - 0.2 * 44100) < 3
+
+    def test_example_file(self, tmp_path):
+        out = str(tmp_path / "o.wav")
+        ex = os.path.join(REPO, "examples", "crossover_lr4_2kHz")
+        r = run_dsp(["-q", "-t", "sgen", "-c", "2", "sine:freq=500+0.2",
+                     "-o", "-t", "wav", "-e", "double", out, f"@{ex}"])
+        assert r.returncode == 0, r.stderr
+        y, (fs, ch) = read_wav(out)
+        assert ch == 4
+
+    def test_stats_output(self, tmp_path):
+        r = run_dsp(["-q", "-t", "sgen", "sine:freq=1k+0.2", "-o", "-n", "stats"])
+        assert r.returncode == 0, r.stderr
+        assert "Peak level (dBFS)" in r.stderr
+        assert "-3.01" in r.stderr or "-3.0103" in r.stderr
+
+
+class TestCliInteractive:
+    def test_quit_key(self, tmp_path):
+        import pty
+        import select
+        import time
+
+        out = str(tmp_path / "o.raw")
+        cmd = [sys.executable, "-m", "dsp_tpu.cli.main", "-i", "-t", "sgen",
+               "sine:freq=1k", "-o", "-t", "pcm", "-e", "double", out,
+               "gain", "-6"]
+        pid, fd = pty.fork()
+        if pid == 0:
+            os.environ.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu", PYTHONPATH=REPO)
+            os.execvp(cmd[0], cmd)
+        t0 = time.time()
+        buf = b""
+        quit_sent = False
+        exited = False
+        while time.time() - t0 < 100:
+            r, _, _ = select.select([fd], [], [], 0.2)
+            if r:
+                try:
+                    buf += os.read(fd, 65536)
+                except OSError:
+                    pass
+            if not quit_sent and time.time() - t0 > 6:
+                os.write(fd, b"q")
+                quit_sent = True
+            done, _ = os.waitpid(pid, os.WNOHANG)
+            if done:
+                exited = True
+                break
+        if not exited:
+            import signal
+
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+        assert exited, "interactive dsp did not exit after 'q'"
+        y = np.fromfile(out, "<f8")
+        assert len(y) > 0  # infinite input: only 'q' ends the run
