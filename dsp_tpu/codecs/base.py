@@ -117,7 +117,7 @@ def _file_ext(path):
 # sndfile/ffmpeg for unknown read files and pulse/alsa/ao for write devices;
 # here the read fallback is the wav prober (+ sndfile when available) and the
 # write fallback is null (no audio devices on TPU hosts by default).
-_READ_FALLBACKS = ["sndfile", "wav"]
+_READ_FALLBACKS = ["sndfile", "wav", "ffmpeg"]
 _WRITE_FALLBACKS = ["null"]
 
 
@@ -172,6 +172,7 @@ def _register_builtins():
         from dsp_tpu.codecs import sndfile as _sndfile  # noqa: F401
     except ImportError:
         log.verbose("codecs: libsndfile support unavailable")
+    from dsp_tpu.codecs import ffmpeg as _ffmpeg  # noqa: F401 (self-gating)
 
 
 _register_builtins()

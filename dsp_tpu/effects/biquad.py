@@ -270,9 +270,21 @@ class BiquadEffect(Effect):
     def state0(self):
         return np.zeros((self.istream.channels, 2), dtype=np.float64)
 
+    def _plan(self):
+        plan = getattr(self, "_blocked_plan", None)
+        if plan is None or not np.array_equal(plan._src, self.c):
+            plan = iir.BiquadBlockedPlan(self.c)
+            plan._src = self.c.copy()
+            self._blocked_plan = plan
+        return plan
+
     def step(self, state, x):
         import jax.numpy as jnp
 
+        if x.shape[0] % 128 == 0 and x.shape[0] >= 256:
+            # chunked MXU path: host-precomputed f64 matrix powers; faster
+            # and more accurate (esp. float32) than the in-graph scan
+            return iir.biquad_blocked(self._plan(), state, x)
         c = jnp.asarray(self.c, dtype=x.dtype)
         A, Bv, c0 = iir.biquad_coeffs_to_ss(c)
         return iir.biquad_scan(A, Bv, c0, state, x)

@@ -104,3 +104,87 @@ def make_identity_biquad(channels, dtype=np.float64):
     c = np.zeros((5, channels), dtype=dtype)
     c[0] = 1.0
     return c
+
+
+class BiquadBlockedPlan:
+    """Chunked biquad evaluation mapping onto the MXU.
+
+    For s[n] = A s[n-1] + Bv x[n], y[n] = c0 x[n] + s[n-1][0], a chunk of L
+    samples satisfies
+
+        y = c0 * x + P @ s_carry + W @ x          (within-chunk, exact)
+        s_carry' = A^L @ s_carry + V @ x
+
+    with W a lower-triangular Toeplitz of w[k] = e0 A^k Bv, P[i] = e0 A^i,
+    V[:, j] = A^(L-1-j) Bv — all precomputed on the host in float64, so the
+    only sequential dependence left is the tiny [2]-state carry chain over
+    N/L chunks. The [L, L] matmul batches across chunks and channels and
+    rides the MXU; float32 accuracy is far better than an in-graph
+    associative scan because the matrix powers never round-trip through f32
+    products.
+    """
+
+    def __init__(self, c, L=128):
+        """c: [5, C] normalized biquad coefficients (numpy, float64)."""
+        c = np.asarray(c, dtype=np.float64)
+        self.L = L
+        C = c.shape[1]
+        self.C = C
+        c0, c1, c2, c3, c4 = c
+        A = np.zeros((C, 2, 2))
+        A[:, 0, 0] = -c3
+        A[:, 0, 1] = 1.0
+        A[:, 1, 0] = -c4
+        Bv = np.stack([c1 - c3 * c0, c2 - c4 * c0], axis=-1)  # [C, 2]
+        # powers A^0..A^L
+        pows = np.zeros((L + 1, C, 2, 2))
+        pows[0] = np.eye(2)[None]
+        for k in range(1, L + 1):
+            pows[k] = np.einsum("cij,cjk->cik", A, pows[k - 1])
+        w = np.einsum("kcj,cj->kc", pows[:L, :, 0, :], Bv)  # w[k, c] = e0 A^k Bv
+        # W[c, i, j] = w[i-1-j] for j < i
+        W = np.zeros((C, L, L))
+        for i in range(1, L):
+            for j in range(i):
+                W[:, i, j] = w[i - 1 - j]
+        self.W = W
+        self.P = np.transpose(pows[:L, :, 0, :], (1, 0, 2))  # [C, L, 2]
+        self.V = np.stack(
+            [np.einsum("cij,cj->ci", pows[L - 1 - j], Bv) for j in range(L)], axis=2
+        )  # [C, 2, L]
+        self.AL = pows[L]  # [C, 2, 2]
+        self.c0 = c0
+
+
+def biquad_blocked(plan, state, x):
+    """Run a block with a BiquadBlockedPlan. x: [B, C] with B % L == 0."""
+    import jax
+    import jax.numpy as jnp
+
+    B, C = x.shape
+    L = plan.L
+    Nc = B // L
+    dt = x.dtype
+    xc = x.reshape(Nc, L, C)
+    W = jnp.asarray(plan.W, dtype=dt)
+    P = jnp.asarray(plan.P, dtype=dt)
+    V = jnp.asarray(plan.V, dtype=dt)
+    AL = jnp.asarray(plan.AL, dtype=dt)
+    c0 = jnp.asarray(plan.c0, dtype=dt)
+    # within-chunk contributions (batched MXU matmul)
+    z = jnp.einsum("cij,njc->nic", W, xc, preferred_element_type=dt)
+    # carry inputs per chunk
+    v = jnp.einsum("cij,njc->nci", V, xc, preferred_element_type=dt)
+    # carry chain: s_{n+1} = AL s_n + v_n (associative over Nc elements)
+    M = jnp.broadcast_to(AL, (Nc,) + AL.shape)
+
+    def combine(a, b):
+        Ma, va = a
+        Mb, vb = b
+        return Mb @ Ma, (Mb @ va[..., None])[..., 0] + vb
+
+    Mp, vp = jax.lax.associative_scan(combine, (M, v), axis=0)
+    s_end = (Mp @ state[None, ..., None])[..., 0] + vp  # state after chunk n
+    s_start = jnp.concatenate([state[None], s_end[:-1]], axis=0)  # [Nc, C, 2]
+    y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z
+    return s_end[-1], y.reshape(B, C)

@@ -149,3 +149,33 @@ class TestNull:
         assert not y.any()
         w = init_codec(CodecParams("null", type="null", fs=44100, channels=2, mode=CODEC_MODE_WRITE))
         assert w.write(y) == 64
+
+
+class TestFfmpeg:
+    def test_wav_via_ffmpeg(self, tmp_path, rng):
+        from dsp_tpu.codecs import ffmpeg as ff
+
+        if not ff._load():
+            pytest.skip("libdspav not built")
+        x = rng.uniform(-0.5, 0.5, (20000, 2))
+        path = str(tmp_path / "f.wav")
+        w = init_codec(CodecParams(path, type="wav", enc="s16", fs=44100, channels=2, mode=CODEC_MODE_WRITE))
+        w.write(x)
+        w.close()
+        r = init_codec(CodecParams(path, type="ffmpeg", mode=CODEC_MODE_READ))
+        assert (r.fs, r.channels, r.frames) == (44100, 2, 20000)
+        y = r.read(20000)
+        q = np.round(x * 32768) / 32768
+        assert np.abs(y - q).max() == 0.0
+        assert r.seek(5000) >= 0
+        y2 = r.read(100)
+        assert np.abs(y2 - q[5000:5100]).max() == 0.0
+        r.close()
+
+    def test_missing_file(self):
+        from dsp_tpu.codecs import ffmpeg as ff
+
+        if not ff._load():
+            pytest.skip("libdspav not built")
+        with pytest.raises(CodecError):
+            init_codec(CodecParams("/nonexistent.mp3", type="ffmpeg", mode=CODEC_MODE_READ))
