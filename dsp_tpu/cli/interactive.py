@@ -116,6 +116,7 @@ def install_signal_handlers(evq):
         signal.signal(s, handler)
     try:
         signal.signal(signal.SIGWINCH, handler)
+        signal.signal(signal.SIGTSTP, handler)
     except (AttributeError, ValueError):
         pass
 
@@ -137,8 +138,9 @@ class StreamLoop:
         self.quit = False
         self.next_input = False
         self.paused = False
-        self.verbose_progress = False
+        self.verbose_progress = state.verbose_progress
         self._last_progress = 0.0
+        self._keys = None
         self._build_chain()
 
     def _build_chain(self):
@@ -223,11 +225,30 @@ class StreamLoop:
                 elif val == signal.SIGUSR2:
                     signal_chain(self.chain)
                     self.cc.host_update()
+                elif val == getattr(signal, "SIGTSTP", None):
+                    # graceful job control (dsp.c:800-820): restore the
+                    # terminal, re-raise with the default handler, restore
+                    # raw mode on resume
+                    self._suspend()
             elif typ == "key":
                 pos = self.handle_key(val, inp, pos)
             if self.quit or self.next_input:
                 return pos
         return pos
+
+    def _suspend(self):
+        from dsp_tpu.cli import terminal
+
+        terminal.disable()
+        if self._keys is not None:
+            self._keys.stop()
+        signal.signal(signal.SIGTSTP, signal.SIG_DFL)
+        os.kill(os.getpid(), signal.SIGTSTP)
+        # resumed:
+        install_signal_handlers(self.evq)
+        if self._keys is not None:
+            self._keys.start()
+        terminal.enable()
 
     def handle_key(self, key, inp, pos):
         fs = inp.codec.fs
@@ -305,6 +326,7 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
     install_signal_handlers(loop.evq)
     keys = KeyReader(loop.evq)
     started = keys.start()
+    loop._keys = keys if started else None
     terminal.enable()
     B = loop.cc.block_frames
     try:

@@ -148,6 +148,14 @@ def _parse_codec_params(state, argv, ind):
 
             if c == "h":
                 sys.stdout.write(HELP_TEXT)
+                sys.stdout.write("\nSupported input/output types:\n")
+                from dsp_tpu.codecs import print_all_codecs
+
+                print_all_codecs(sys.stdout)
+                sys.stdout.write("\nEffects:\n")
+                from dsp_tpu.effects import print_all_effects
+
+                print_all_effects(sys.stdout)
                 raise SystemExit(0)
             elif c == "b":
                 arg = need_arg()

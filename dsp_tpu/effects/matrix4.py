@@ -578,7 +578,8 @@ class Matrix4Effect(Effect):
             M2, v2 = qq
             return M2 @ M1, (M2 @ v1[..., None])[..., 0] + v2
 
-        MM, vv = jax.lax.associative_scan(comb, (M, v), axis=0)
+        with jax.default_matmul_precision("float32"):
+            MM, vv = jax.lax.associative_scan(comb, (M, v), axis=0)
         states = (MM @ st_row[:, None]).squeeze(-1) + vv  # [B, 2]
         prev = jnp.concatenate([st_row[None], states[:-1]], axis=0)
         r = prev[:, 0] + c0s * (sig - prev[:, 1])

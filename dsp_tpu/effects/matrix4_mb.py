@@ -370,7 +370,7 @@ class Matrix4MbEffect(Effect):
             iy = jnp.concatenate([iy[1:], vals[None]], axis=0)
             ia = iy[2] - iy[0]
             ic = jnp.stack([0.5 * iy[1] + 0.25 * (iy[0] + iy[2]), 0.5 * ia, 0.25 * (iy[3] - iy[1] - ia)])
-            aux = jnp.stack([out["ax_lr"], out["ax_cs"]], axis=1)
+            aux = jnp.stack([out["ax_lr"], out["ax_cs"]], axis=1)  # [NB, 2]
             return (ev, evt_new, iy), (ic, aux)
 
         (ev_new, evt_new, iy_new), (ics, auxs) = jax.lax.scan(
@@ -512,9 +512,34 @@ class Matrix4MbEffect(Effect):
 
             state["disable"] = jnp.logical_not(state["disable"])
             state["fade_p"] = jnp.asarray(self.fade_frames - int(state["fade_p"]), dtype=jnp.int64)
+        if self.cfg.status_type != "none" and hasattr(self, "_aux"):
+            from dsp_tpu.cli import terminal
+            from dsp_tpu.effects.matrix4 import draw_steering_bar
+
+            aux = np.asarray(self._aux)[-1]  # [NB, 2]
+            if self._statuslines is None:
+                self._statuslines = [terminal.Statusline() for _ in range(N_BANDS)]
+                for sl in self._statuslines:
+                    terminal.register(sl)
+            off = " [off]" if bool(np.asarray(state["disable"])) else ""
+            for k in range(N_BANDS):
+                lr, cs = aux[k, 0], aux[k, 1]
+                if self.cfg.status_type == "text":
+                    self._statuslines[k].set(
+                        f"{self.name}{off}: band {k:2d}: lr: {np.degrees(lr):+06.2f}; cs: {np.degrees(cs):+06.2f}"
+                    )
+                else:
+                    self._statuslines[k].set(
+                        f"{self.name}{off}: band {k:2d}: L[{draw_steering_bar(lr)}]R; C[{draw_steering_bar(cs)}]S"
+                    )
 
     def host_finish(self, state):
-        pass
+        from dsp_tpu.cli import terminal
+
+        if self._statuslines:
+            for sl in self._statuslines:
+                terminal.unregister(sl)
+            self._statuslines = None
 
 
 def _params_axes(p):
@@ -573,7 +598,8 @@ def _ap1_lanes(st, sig, c0s):
         M2, v2 = qq
         return M2 @ M1, (M2 @ v1[..., None])[..., 0] + v2
 
-    MM, vv = jax.lax.associative_scan(comb, (M, v), axis=0)
+    with jax.default_matmul_precision("float32"):
+        MM, vv = jax.lax.associative_scan(comb, (M, v), axis=0)
     states = (MM @ st[None, :, :, None])[..., 0] + vv  # [B, L, 2]
     prev = jnp.concatenate([st[None], states[:-1]], axis=0)
     y = prev[:, :, 0] + c0s * (sig - prev[:, :, 1])

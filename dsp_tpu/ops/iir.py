@@ -53,7 +53,18 @@ def biquad_scan(A, Bv, c0, state, x):
 
     A [C,2,2], Bv [C,2], c0 [C]; state [C,2] (TDF2 memories m0,m1); x [B,C].
     Returns (state' [C,2], y [B,C]).
+
+    Matmul precision is forced to full float32: TPU default (bf16 inputs)
+    perturbs the recurrence matrices enough to destabilize near-unit-circle
+    poles (30 Hz highpass at 44.1k NaN'd under bf16).
     """
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        return _biquad_scan_impl(A, Bv, c0, state, x)
+
+
+def _biquad_scan_impl(A, Bv, c0, state, x):
     B = x.shape[0]
     v = x[..., None] * Bv  # [B, C, 2]
     M = jnp.broadcast_to(A, (B,) + A.shape)  # [B, C, 2, 2]
@@ -78,6 +89,7 @@ def biquad_scan_seq(A, Bv, c0, state, x):
 
 
 def first_order_scan(a1, b0, b1, state, x):
+    # (no matmuls: scalar affine scan, safe at any precision)
     """First-order direct-form recurrence y[n] = b0 x[n] + s[n-1]; s[n] = b1 x[n] - a1 y[n].
 
     (TDF2 with one memory.) a1/b0/b1: [C]; state: [C]; x: [B, C].
@@ -157,7 +169,16 @@ class BiquadBlockedPlan:
 
 
 def biquad_blocked(plan, state, x):
-    """Run a block with a BiquadBlockedPlan. x: [B, C] with B % L == 0."""
+    """Run a block with a BiquadBlockedPlan. x: [B, C] with B % L == 0.
+
+    Full-f32 matmul precision (see biquad_scan)."""
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        return _biquad_blocked_impl(plan, state, x)
+
+
+def _biquad_blocked_impl(plan, state, x):
     import jax
     import jax.numpy as jnp
 
