@@ -159,30 +159,45 @@ class StreamLoop:
         do = should_dither(in_codec, self.out_codec, needs, self.state.force_dither)
         self.writer.add_dither = chain_set_dither_params(self.chain, self.out_codec.prec, do)
 
-    def rebuild(self, crossfade=True):
+    def rebuild(self, force_crossfade=False):
+        """Rebuild the chain. Reference semantics (dsp.c:1355-1390): with -E
+        (drain_effects off) and not paused, crossfade old->new; otherwise
+        drain the old chain first, then swap. watch reloads always crossfade
+        (watch.c:132-155), hence force_crossfade."""
         log.info("info: rebuilding effects chain")
         old_cc = self.cc
+        old_chain = self.chain
         try:
             new_chain = build_chain_from_args(self.chain_args, self.stream)
         except Exception as e:
             log.error("error: failed to rebuild chain: %s", e)
             return
         new_cc = CompiledChain(new_chain, block_frames=self.state.block_frames)
-        if crossfade and not self.paused and self.state.drain_effects is False:
-            self.xfade = ChainXfade(old_cc, new_cc, self.stream.fs)
-        elif crossfade and not self.paused:
+        do_xfade = force_crossfade or (not self.paused and not self.state.drain_effects)
+        if do_xfade:
             self.xfade = ChainXfade(old_cc, new_cc, self.stream.fs)
         else:
             self.xfade = None
+            if not self.paused and old_chain.drain_frames > 0:
+                B = old_cc.block_frames
+                n = old_chain.drain_frames
+                pad = -(-n // B) * B
+                zeros = np.zeros((pad, self.stream.channels))
+                for i in range(0, pad, B):
+                    y = np.asarray(old_cc.run_block(zeros[i : i + B]), dtype=np.float64)
+                    keep = min(max(n - i, 0), len(y))
+                    if keep > 0:
+                        self.writer.write(y[:keep])
         self.chain = new_chain
         self.cc = new_cc
+        self.discard_left = new_chain.output_discard
         self._apply_dither()
 
     def check_watch_reload(self):
         for e in self.chain.effects:
             if getattr(e, "reload_requested", False):
                 e.reload_requested = False
-                self.rebuild(crossfade=True)
+                self.rebuild(force_crossfade=True)
                 return True
         return False
 
