@@ -118,6 +118,105 @@ def make_identity_biquad(channels, dtype=np.float64):
     return c
 
 
+# --- double-float (two-float32) arithmetic for the carry chain -------------
+#
+# Near-DC biquads (e.g. `highpass 30 0.7071`) have poles at radius
+# 1 - r with r ~ 3e-3; rounding the recurrence matrices to float32 shifts the
+# pole by ~eps and the transfer function responds with sensitivity ~1/r^2
+# (~1e5), so an all-f32 carry chain tops out around -50 dBFS. Running just the
+# tiny [Nc, C, 2, 2] carry scan in double-float (hi+lo float32 pairs, ~48-bit
+# mantissa, error-free transforms) restores <= -120 dBFS while the heavy
+# [L, L] within-chunk matmuls stay plain f32 on the MXU (they are
+# finite-horizon and well-conditioned). float64 is not an option on TPU
+# (pathological compile times); this is the TPU-native equivalent of the
+# reference's all-double sample loop (biquad.c:296-315).
+
+_SPLIT32 = np.float32(4097.0)  # 2**12 + 1: Dekker split constant for f32
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    # requires |a| >= |b| (holds after a product/sum of normalized pairs)
+    s = a + b
+    return s, b - (s - a)
+
+
+def _two_prod(a, b):
+    # Dekker: exact a*b = p + err using split halves (no FMA dependence)
+    p = a * b
+    ca = _SPLIT32 * a
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = _SPLIT32 * b
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+def _df_add(ah, al, bh, bl):
+    sh, se = _two_sum(ah, bh)
+    return _quick_two_sum(sh, se + (al + bl))
+
+
+def _df_mul(ah, al, bh, bl):
+    ph, pe = _two_prod(ah, bh)
+    return _quick_two_sum(ph, pe + (ah * bl + al * bh))
+
+
+def _df_mat2mul(Bh, Bl, Ah, Al):
+    """(B @ A) for [..., 2, 2] double-float matrices."""
+    ph, pl = _df_mul(
+        Bh[..., :, :, None], Bl[..., :, :, None], Ah[..., None, :, :], Al[..., None, :, :]
+    )  # [..., i, k, j]
+    return _df_add(ph[..., :, 0, :], pl[..., :, 0, :], ph[..., :, 1, :], pl[..., :, 1, :])
+
+
+def _df_mat2vec(Bh, Bl, vh, vl):
+    """(B @ v) for [..., 2, 2] df matrix and [..., 2] df vector."""
+    ph, pl = _df_mul(Bh, Bl, vh[..., None, :], vl[..., None, :])  # [..., i, k]
+    return _df_add(ph[..., :, 0], pl[..., :, 0], ph[..., :, 1], pl[..., :, 1])
+
+
+def _split_f64(x):
+    """numpy float64 -> (hi, lo) float32 pair."""
+    hi = np.asarray(x, dtype=np.float32)
+    lo = np.asarray(x - hi.astype(np.float64), dtype=np.float32)
+    return hi, lo
+
+
+def _df_reduce(ph, pl, axis):
+    """Double-float pairwise tree reduction along `axis` (power-of-2 length)."""
+    ph = jnp.moveaxis(ph, axis, -1)
+    pl = jnp.moveaxis(pl, axis, -1)
+    n = ph.shape[-1]
+    while n > 1:
+        h = n // 2
+        ph, pl = _df_add(ph[..., :h], pl[..., :h], ph[..., h:], pl[..., h:])
+        n = h
+    return ph[..., 0], pl[..., 0]
+
+
+def _df_inject(Vh, Vl, xc):
+    """Per-chunk carry injection v = V @ x in double-float.
+
+    Vh/Vl: [C, 2, L]; xc: [Nc, L, C] -> (vh, vl): [Nc, C, 2]. The injection
+    feeds the infinite-horizon carry recurrence, so its reduction error is
+    amplified like the pole sensitivity; an f32 einsum caps accuracy ~-112 dB
+    for near-DC filters while this df reduction restores the -120s."""
+    xt = jnp.transpose(xc, (0, 2, 1))[:, :, None, :]  # [Nc, C, 1, L]
+    ph, pe = _two_prod(Vh[None], xt)
+    pe = pe + Vl[None] * xt
+    ph, pe = _quick_two_sum(ph, pe)
+    return _df_reduce(ph, pe, -1)
+
+
 class BiquadBlockedPlan:
     """Chunked biquad evaluation mapping onto the MXU.
 
@@ -166,6 +265,10 @@ class BiquadBlockedPlan:
         )  # [C, 2, L]
         self.AL = pows[L]  # [C, 2, 2]
         self.c0 = c0
+        # hi/lo f32 splits for the double-float carry path (f32 dtype only)
+        self.AL_hi, self.AL_lo = _split_f64(self.AL)
+        self.V_hi, self.V_lo = _split_f64(self.V)
+        self.P_hi, self.P_lo = _split_f64(self.P)
 
 
 def biquad_blocked(plan, state, x):
@@ -188,12 +291,47 @@ def _biquad_blocked_impl(plan, state, x):
     dt = x.dtype
     xc = x.reshape(Nc, L, C)
     W = jnp.asarray(plan.W, dtype=dt)
+    c0 = jnp.asarray(plan.c0, dtype=dt)
+    # within-chunk contributions (batched MXU matmul; finite horizon -> f32 ok)
+    z = jnp.einsum("cij,njc->nic", W, xc, preferred_element_type=dt)
+    if dt == jnp.float32:
+        # double-float carry chain: see module comment above _two_sum
+        Vh = jnp.asarray(plan.V_hi)
+        Vl = jnp.asarray(plan.V_lo)
+        vh, vl = _df_inject(Vh, Vl, xc)
+        ALh = jnp.broadcast_to(jnp.asarray(plan.AL_hi), (Nc, C, 2, 2))
+        ALl = jnp.broadcast_to(jnp.asarray(plan.AL_lo), (Nc, C, 2, 2))
+
+        def combine(a, b):
+            Mah, Mal, vah, val = a
+            Mbh, Mbl, vbh, vbl = b
+            Mh, Ml = _df_mat2mul(Mbh, Mbl, Mah, Mal)
+            wh, wl = _df_mat2vec(Mbh, Mbl, vah, val)
+            wh, wl = _df_add(wh, wl, vbh, vbl)
+            return Mh, Ml, wh, wl
+
+        Mph, Mpl, vph, vpl = jax.lax.associative_scan(
+            combine, (ALh, ALl, vh, vl), axis=0
+        )
+        sh, sl = _df_mat2vec(Mph, Mpl, jnp.broadcast_to(state, (Nc, C, 2)), jnp.zeros((Nc, C, 2), dt))
+        sh, sl = _df_add(sh, sl, vph, vpl)  # state after chunk n
+        s_end = sh + sl
+        s0h = jnp.concatenate([state[None], sh[:-1]], axis=0)  # [Nc, C, 2]
+        s0l = jnp.concatenate([jnp.zeros((1, C, 2), dt), sl[:-1]], axis=0)
+        Ph = jnp.asarray(plan.P_hi)
+        Pl = jnp.asarray(plan.P_lo)
+        # P @ s in mixed precision (reduction over k=2 only; keeps |s|*eps
+        # representation error of a single-f32 cast out of y)
+        yc = (
+            jnp.einsum("clk,nck->nlc", Ph, s0h)
+            + jnp.einsum("clk,nck->nlc", Ph, s0l)
+            + jnp.einsum("clk,nck->nlc", Pl, s0h)
+        )
+        y = c0 * xc + yc + z
+        return s_end[-1], y.reshape(B, C)
     P = jnp.asarray(plan.P, dtype=dt)
     V = jnp.asarray(plan.V, dtype=dt)
     AL = jnp.asarray(plan.AL, dtype=dt)
-    c0 = jnp.asarray(plan.c0, dtype=dt)
-    # within-chunk contributions (batched MXU matmul)
-    z = jnp.einsum("cij,njc->nic", W, xc, preferred_element_type=dt)
     # carry inputs per chunk
     v = jnp.einsum("cij,njc->nci", V, xc, preferred_element_type=dt)
     # carry chain: s_{n+1} = AL s_n + v_n (associative over Nc elements)
