@@ -268,7 +268,9 @@ class BiquadEffect(Effect):
                 self.c[:, k] = coeffs
 
     def state0(self):
-        return np.zeros((self.istream.channels, 2), dtype=np.float64)
+        # [hi/lo, C, 2]: double-float pair of TDF2 memories so block
+        # boundaries keep the blocked kernel's carry precision (ops/iir.py)
+        return np.zeros((2, self.istream.channels, 2), dtype=np.float64)
 
     def _plan(self):
         plan = getattr(self, "_blocked_plan", None)
@@ -285,9 +287,14 @@ class BiquadEffect(Effect):
             # chunked MXU path: host-precomputed f64 matrix powers; faster
             # and more accurate (esp. float32) than the in-graph scan
             return iir.biquad_blocked(self._plan(), state, x)
-        c = jnp.asarray(self.c, dtype=x.dtype)
-        A, Bv, c0 = iir.biquad_coeffs_to_ss(c)
-        return iir.biquad_scan(A, Bv, c0, state, x)
+        # host-side coupled-form ss so states stay interchangeable with the
+        # blocked kernel's basis (iir._coupled_form_ss)
+        A, Bv = iir._coupled_form_ss(self.c)
+        A = jnp.asarray(A, dtype=x.dtype)
+        Bv = jnp.asarray(Bv, dtype=x.dtype)
+        c0 = jnp.asarray(self.c[0], dtype=x.dtype)
+        s_end, y = iir.biquad_scan(A, Bv, c0, state[0] + state[1], x)
+        return jnp.stack([s_end, jnp.zeros_like(s_end)]), y
 
     def merge(self, other):
         if type(other) is not type(self):

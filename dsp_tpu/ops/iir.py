@@ -217,6 +217,49 @@ def _df_inject(Vh, Vl, xc):
     return _df_reduce(ph, pe, -1)
 
 
+def _coupled_form_ss(c):
+    """Host-side state-space (A [C,2,2], Bv [C,2]) with y = c0 x + s[n-1][0].
+
+    For complex-pole channels the companion form is similarity-transformed to
+    the coupled (rotation) form A = r*R(theta): companion matrix powers of a
+    near-DC resonator are non-normal and transiently grow to ~1/sin(theta)
+    (~100 for `highpass 30`), so the P/V tables hold large entries whose f32
+    products cancel catastrophically — the worst-sample error floor on TPU.
+    Coupled-form powers stay bounded by r^k <= 1. The transform
+    T = [[1, 0], [a1/2, im]] keeps the output row e0 T = [1, 0], so
+    y = c0 x + s[0] holds in both bases and states are interchangeable with
+    zeros-initialized use. Real-pole channels keep the companion form (their
+    transient growth is bounded for audio filters). numpy float64 only.
+    """
+    c = np.asarray(c, dtype=np.float64)
+    C = c.shape[1]
+    c0, c1, c2, c3, c4 = c
+    A = np.zeros((C, 2, 2))
+    A[:, 0, 0] = -c3
+    A[:, 0, 1] = 1.0
+    A[:, 1, 0] = -c4
+    Bv = np.stack([c1 - c3 * c0, c2 - c4 * c0], axis=-1)  # [C, 2]
+    disc = c3 * c3 - 4.0 * c4
+    cplx = disc < 0.0
+    if np.any(cplx):
+        re = -c3 / 2.0
+        im = np.sqrt(np.maximum(-disc, 0.0)) / 2.0
+        im_safe = np.where(cplx, im, 1.0)
+        Ac = np.zeros((C, 2, 2))
+        Ac[:, 0, 0] = re
+        Ac[:, 0, 1] = im
+        Ac[:, 1, 0] = -im
+        Ac[:, 1, 1] = re
+        # T^-1 = [[1, 0], [-a1/(2 im), 1/im]]
+        Bc = np.stack(
+            [Bv[:, 0], (-c3 / (2.0 * im_safe)) * Bv[:, 0] + Bv[:, 1] / im_safe],
+            axis=-1,
+        )
+        A = np.where(cplx[:, None, None], Ac, A)
+        Bv = np.where(cplx[:, None], Bc, Bv)
+    return A, Bv
+
+
 class BiquadBlockedPlan:
     """Chunked biquad evaluation mapping onto the MXU.
 
@@ -242,11 +285,7 @@ class BiquadBlockedPlan:
         C = c.shape[1]
         self.C = C
         c0, c1, c2, c3, c4 = c
-        A = np.zeros((C, 2, 2))
-        A[:, 0, 0] = -c3
-        A[:, 0, 1] = 1.0
-        A[:, 1, 0] = -c4
-        Bv = np.stack([c1 - c3 * c0, c2 - c4 * c0], axis=-1)  # [C, 2]
+        A, Bv = _coupled_form_ss(c)
         # powers A^0..A^L
         pows = np.zeros((L + 1, C, 2, 2))
         pows[0] = np.eye(2)[None]
@@ -269,12 +308,16 @@ class BiquadBlockedPlan:
         self.AL_hi, self.AL_lo = _split_f64(self.AL)
         self.V_hi, self.V_lo = _split_f64(self.V)
         self.P_hi, self.P_lo = _split_f64(self.P)
+        self.W_hi, self.W_lo = _split_f64(self.W)
 
 
 def biquad_blocked(plan, state, x):
     """Run a block with a BiquadBlockedPlan. x: [B, C] with B % L == 0.
 
-    Full-f32 matmul precision (see biquad_scan)."""
+    state: [2, C, 2] — a (hi, lo) double-float pair of the TDF2 memories so
+    block boundaries don't round the carried state to single f32 (state[1] is
+    identically zero on the f64 path). Full-f32 matmul precision (see
+    biquad_scan)."""
     import jax
 
     with jax.default_matmul_precision("float32"):
@@ -290,11 +333,22 @@ def _biquad_blocked_impl(plan, state, x):
     Nc = B // L
     dt = x.dtype
     xc = x.reshape(Nc, L, C)
-    W = jnp.asarray(plan.W, dtype=dt)
     c0 = jnp.asarray(plan.c0, dtype=dt)
-    # within-chunk contributions (batched MXU matmul; finite horizon -> f32 ok)
-    z = jnp.einsum("cij,njc->nic", W, xc, preferred_element_type=dt)
     if dt == jnp.float32:
+        # within-chunk contributions, compensated: the plain [L, L] f32 matmul
+        # accumulates ~sqrt(L)*eps rounding which caps worst-sample error near
+        # -119 dBFS over minutes of audio. Contract in groups of 16 taps on
+        # the MXU (hi+lo split of W removes table rounding) and combine the
+        # G=8 partials with a double-float tree; the kernel is HBM-bound so
+        # the lower MXU utilization of the K=16 contraction is free.
+        G = 8
+        T = L // G
+        Wg_hi = jnp.asarray(plan.W_hi.reshape(C, L, G, T))
+        Wg_lo = jnp.asarray(plan.W_lo.reshape(C, L, G, T))
+        xg = xc.reshape(Nc, G, T, C)
+        zp_h = jnp.einsum("cigt,ngtc->ngic", Wg_hi, xg, preferred_element_type=dt)
+        zp_l = jnp.einsum("cigt,ngtc->ngic", Wg_lo, xg, preferred_element_type=dt)
+        zh, zl = _df_reduce(zp_h, zp_l, 1)
         # double-float carry chain: see module comment above _two_sum
         Vh = jnp.asarray(plan.V_hi)
         Vl = jnp.asarray(plan.V_lo)
@@ -313,11 +367,15 @@ def _biquad_blocked_impl(plan, state, x):
         Mph, Mpl, vph, vpl = jax.lax.associative_scan(
             combine, (ALh, ALl, vh, vl), axis=0
         )
-        sh, sl = _df_mat2vec(Mph, Mpl, jnp.broadcast_to(state, (Nc, C, 2)), jnp.zeros((Nc, C, 2), dt))
+        sh, sl = _df_mat2vec(
+            Mph,
+            Mpl,
+            jnp.broadcast_to(state[0], (Nc, C, 2)),
+            jnp.broadcast_to(state[1], (Nc, C, 2)),
+        )
         sh, sl = _df_add(sh, sl, vph, vpl)  # state after chunk n
-        s_end = sh + sl
-        s0h = jnp.concatenate([state[None], sh[:-1]], axis=0)  # [Nc, C, 2]
-        s0l = jnp.concatenate([jnp.zeros((1, C, 2), dt), sl[:-1]], axis=0)
+        s0h = jnp.concatenate([state[0][None], sh[:-1]], axis=0)  # [Nc, C, 2]
+        s0l = jnp.concatenate([state[1][None], sl[:-1]], axis=0)
         Ph = jnp.asarray(plan.P_hi)
         Pl = jnp.asarray(plan.P_lo)
         # P @ s in mixed precision (reduction over k=2 only; keeps |s|*eps
@@ -327,11 +385,20 @@ def _biquad_blocked_impl(plan, state, x):
             + jnp.einsum("clk,nck->nlc", Ph, s0l)
             + jnp.einsum("clk,nck->nlc", Pl, s0h)
         )
-        y = c0 * xc + yc + z
-        return s_end[-1], y.reshape(B, C)
+        # assemble y in double-float so intermediate roundings stay relative
+        # to |y| (a plain f32 sum rounds at eps*|x| even where y is small,
+        # which is the worst-sample floor over long programs)
+        yh, ylo = _two_prod(c0, xc)
+        yh, ylo = _df_add(yh, ylo, zh, zl)
+        y = yh + (ylo + yc)
+        return jnp.stack([sh[-1], sl[-1]]), y.reshape(B, C)
+    z = jnp.einsum(
+        "cij,njc->nic", jnp.asarray(plan.W, dtype=dt), xc, preferred_element_type=dt
+    )
     P = jnp.asarray(plan.P, dtype=dt)
     V = jnp.asarray(plan.V, dtype=dt)
     AL = jnp.asarray(plan.AL, dtype=dt)
+    s0 = state[0] + state[1]
     # carry inputs per chunk
     v = jnp.einsum("cij,njc->nci", V, xc, preferred_element_type=dt)
     # carry chain: s_{n+1} = AL s_n + v_n (associative over Nc elements)
@@ -343,7 +410,7 @@ def _biquad_blocked_impl(plan, state, x):
         return Mb @ Ma, (Mb @ va[..., None])[..., 0] + vb
 
     Mp, vp = jax.lax.associative_scan(combine, (M, v), axis=0)
-    s_end = (Mp @ state[None, ..., None])[..., 0] + vp  # state after chunk n
-    s_start = jnp.concatenate([state[None], s_end[:-1]], axis=0)  # [Nc, C, 2]
+    s_end = (Mp @ s0[None, ..., None])[..., 0] + vp  # state after chunk n
+    s_start = jnp.concatenate([s0[None], s_end[:-1]], axis=0)  # [Nc, C, 2]
     y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z
-    return s_end[-1], y.reshape(B, C)
+    return jnp.stack([s_end[-1], jnp.zeros_like(s_end[-1])]), y.reshape(B, C)
