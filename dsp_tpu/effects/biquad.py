@@ -290,6 +290,8 @@ class BiquadEffect(Effect):
         # host-side coupled-form ss so states stay interchangeable with the
         # blocked kernel's basis (iir._coupled_form_ss)
         A, Bv = iir._coupled_form_ss(self.c)
+        if x.dtype == jnp.float32:
+            return iir.biquad_scan_df(A, Bv, self.c[0], state, x)
         A = jnp.asarray(A, dtype=x.dtype)
         Bv = jnp.asarray(Bv, dtype=x.dtype)
         c0 = jnp.asarray(self.c[0], dtype=x.dtype)

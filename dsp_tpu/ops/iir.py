@@ -76,6 +76,52 @@ def _biquad_scan_impl(A, Bv, c0, state, x):
     return s[-1], y
 
 
+def biquad_scan_df(A, Bv, c0, state, x):
+    """Double-float per-sample associative scan (f32 small-block fallback).
+
+    Same recurrence as biquad_scan but with the affine maps composed in
+    two-float32 arithmetic so near-DC poles keep <= -120 dBFS in f32 (a plain
+    f32 scan compounds eps-level matrix-product rounding to ~-65 dBFS for
+    `highpass 30`). A/Bv/c0 are HOST numpy float64 (split hi/lo here);
+    state is the [2, C, 2] (hi, lo) pair used by biquad_blocked, so the two
+    paths are interchangeable. ~20x the flops of the plain scan, all VPU
+    elementwise — only used for blocks too small for the MXU kernel.
+    """
+    import jax
+
+    Ah, Al = _split_f64(A)
+    Bh, Bl = _split_f64(Bv)
+    c0h, c0l = _split_f64(c0)
+    B = x.shape[0]
+    dt = x.dtype
+    with jax.default_matmul_precision("float32"):
+        vh, vl = _two_prod(jnp.asarray(Bh), x[..., None])
+        vh, vl = _quick_two_sum(vh, vl + jnp.asarray(Bl) * x[..., None])
+        Mh = jnp.broadcast_to(jnp.asarray(Ah), (B,) + Ah.shape)
+        Ml = jnp.broadcast_to(jnp.asarray(Al), (B,) + Al.shape)
+
+        def combine(a, b):
+            Mah, Mal, vah, val = a
+            Mbh, Mbl, vbh, vbl = b
+            Mph, Mpl = _df_mat2mul(Mbh, Mbl, Mah, Mal)
+            wh, wl = _df_mat2vec(Mbh, Mbl, vah, val)
+            wh, wl = _df_add(wh, wl, vbh, vbl)
+            return Mph, Mpl, wh, wl
+
+        Mph, Mpl, vph, vpl = jax.lax.associative_scan(combine, (Mh, Ml, vh, vl), axis=0)
+        C = x.shape[1]
+        sh, sl = _df_mat2vec(
+            Mph, Mpl, jnp.broadcast_to(state[0], (B, C, 2)), jnp.broadcast_to(state[1], (B, C, 2))
+        )
+        sh, sl = _df_add(sh, sl, vph, vpl)
+        m0h = jnp.concatenate([state[0][None, :, 0], sh[:-1, :, 0]], axis=0)
+        m0l = jnp.concatenate([state[1][None, :, 0], sl[:-1, :, 0]], axis=0)
+        yh, yl = _two_prod(jnp.asarray(c0h), x)
+        yh, yl = _df_add(yh, yl + jnp.asarray(c0l).astype(dt) * x, m0h, m0l)
+        y = yh + yl
+        return jnp.stack([sh[-1], sl[-1]]), y
+
+
 def biquad_scan_seq(A, Bv, c0, state, x):
     """Sequential lax.scan reference implementation (for testing/CPU)."""
 
