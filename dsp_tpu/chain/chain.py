@@ -547,3 +547,65 @@ def signal_chain(chain, compiled=None):
     """Send the chain signal (SIGUSR2 / 's'): every effect's signal() hook."""
     for e in chain.effects:
         e.signal()
+
+
+_d2h_warmed = False
+
+
+def warm_d2h():
+    """One-time device->host transfer warm-up.
+
+    The first D2H copy in a process over the tunneled TPU backend stalls for
+    tens of seconds to minutes (lazy reverse-channel setup); every later copy
+    runs at tens of MB/s. A single 8-byte fetch absorbs the whole penalty in
+    ~1 s. Only audio-fetching paths (the CLI) should call this: the warm-up
+    itself leaves the stream in a mode that costs pure-compute loops real
+    throughput, so CompiledChain deliberately does NOT warm it."""
+    global _d2h_warmed
+    if _d2h_warmed:
+        return
+    _d2h_warmed = True
+    try:
+        import jax.numpy as jnp
+
+        np.asarray(jnp.zeros(8))
+    except Exception:
+        pass
+
+
+def warm_d2h_async():
+    import threading
+
+    import jax
+
+    try:
+        if jax.default_backend() == "cpu":
+            return  # no tunnel; also avoids a thread racing process exit
+    except Exception:
+        return
+    # non-daemon: finishes in ~1 s and must not be killed mid-runtime-call
+    # (a daemon thread aborted inside the backend SIGABRTs at exit)
+    threading.Thread(target=warm_d2h, daemon=False).start()
+
+
+def fetch_np(ys, dtype=None, streams=8):
+    """Device -> host transfer of a [n, ...] result, in parallel streams for
+    large arrays (marginal post-warm-up, but free); see warm_d2h for the
+    first-fetch tunnel behavior. The reference hides sink latency with a
+    writer pthread (codec_buf.c:542-620); here the sink is the tunnel."""
+    import concurrent.futures as cf
+
+    import jax
+
+    warm_d2h()
+    n = ys.shape[0] if ys.ndim else 0
+    if n < streams * 2 or ys.size * ys.dtype.itemsize < (8 << 20):
+        out = np.asarray(ys)
+        return out if dtype is None else out.astype(dtype, copy=False)
+    bounds = np.linspace(0, n, streams + 1, dtype=int)
+    parts = [jax.lax.slice_in_dim(ys, bounds[i], bounds[i + 1], axis=0) for i in range(streams)]
+    jax.block_until_ready(parts)
+    with cf.ThreadPoolExecutor(streams) as ex:
+        host = list(ex.map(np.asarray, parts))
+    out = np.concatenate(host, axis=0)
+    return out if dtype is None else out.astype(dtype, copy=False)

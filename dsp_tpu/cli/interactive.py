@@ -144,6 +144,9 @@ class StreamLoop:
         self._build_chain()
 
     def _build_chain(self):
+        from dsp_tpu.chain.chain import warm_d2h_async
+
+        warm_d2h_async()  # interactive mode always fetches audio
         self.chain = build_chain_from_args(self.chain_args, self.stream)
         self.cc = CompiledChain(self.chain, block_frames=self.state.block_frames)
         self.discard_left = self.chain.output_discard

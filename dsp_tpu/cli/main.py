@@ -15,7 +15,7 @@ import numpy as np
 
 from dsp_tpu import config
 from dsp_tpu.chain import ChainError, CompiledChain, build_chain_from_args
-from dsp_tpu.chain.chain import chain_needs_dither, chain_set_dither_params
+from dsp_tpu.chain.chain import chain_needs_dither, chain_set_dither_params, fetch_np
 from dsp_tpu.chain.parser import ChainParseError
 from dsp_tpu.chain.plot import PlotError, plot_chain
 from dsp_tpu.codecs import (
@@ -371,6 +371,9 @@ class OutputWriter:
 def run_offline(state, chain, out_writer, progress_cb=None):
     """Concatenate-mode batch processing: read -> chain (batched blocks on
     device) -> write. Many blocks per dispatch amortize the TPU tunnel."""
+    from dsp_tpu.chain.chain import warm_d2h_async
+
+    warm_d2h_async()  # overlap the one-time tunnel warm-up with compile
     cc = CompiledChain(chain, block_frames=state.block_frames)
     B = cc.block_frames
     meta_blocks = max(1, (1 << 20) // max(1, B * chain.istream.channels))  # ~1M samples / dispatch
@@ -394,7 +397,7 @@ def run_offline(state, chain, out_writer, progress_cb=None):
             return 0
         xs = carry[:take].reshape(-1, B, carry.shape[1])
         carry = carry[take:]
-        ys = np.asarray(cc.run_blocks(xs), dtype=np.float64)
+        ys = fetch_np(cc.run_blocks(xs), dtype=np.float64)
         y = ys.reshape(-1, ys.shape[-1])
         if pad:
             # trim output from the zero padding added to complete the last block

@@ -22,13 +22,25 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the analog of the reference's FFTW wisdom
 # (DSP_FFTW_WISDOM_PATH, util.c:474-500). Plans/compilations accumulate
-# across runs when a cache path is set.
-_cache_dir = os.environ.get("DSP_TPU_COMPILE_CACHE") or os.environ.get(
-    "DSP_FFTW_WISDOM_PATH"
-)
+# across runs. Unlike the reference (which only loads wisdom when the env var
+# is set), caching is ON by default under the XDG cache dir: chains like
+# matrix4 take minutes to compile on TPU and the CLI is a fresh process per
+# run. Set DSP_TPU_COMPILE_CACHE=\"\" (empty) to disable.
+_cache_dir = os.environ.get("DSP_TPU_COMPILE_CACHE")
+if _cache_dir is None:
+    _cache_dir = os.environ.get("DSP_FFTW_WISDOM_PATH")
+if _cache_dir is None:
+    _xdg = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    _cache_dir = os.path.join(_xdg, "dsp_tpu", "xla")
 if _cache_dir:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except OSError:
+        pass  # read-only home: run without a persistent cache
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

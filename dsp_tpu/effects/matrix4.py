@@ -38,7 +38,7 @@ class Matrix4Config:
         self.status_type = "none"
         self.surr_delay_frames = 0
         self.lookahead_frames = 0
-        self.shelf_mult = np.sqrt(0.5)
+        self.shelf_mult = float(np.sqrt(0.5))
         self.shelf_f0 = 500.0
         self.contour_pwrcmp = 1.0
         self.lowpass_f0 = 6000.0
@@ -52,7 +52,7 @@ class Matrix4Config:
         self.freq_mask = 0.0
         self.matrix_ver = "v4"
         self.matrix_param = 0.5
-        self.surr_mult = [np.sqrt(0.5), 1.0]
+        self.surr_mult = [float(np.sqrt(0.5)), 1.0]
         self.c0 = 0
         self.c1 = 1
 
@@ -253,7 +253,7 @@ def matrix4_config_init(name, istream, selector, argv, is_mb):
                     cfg.do_dpwr_decouple = _parse_bool(name, key, val if has_val else None)
                 else:
                     raise EffectError(f"{name}: unrecognized option: {opt}")
-    cfg.surr_mult[0] = np.sqrt(0.5) if surr_level[0] is None else 10.0 ** (surr_level[0] / 20.0)
+    cfg.surr_mult[0] = float(np.sqrt(0.5)) if surr_level[0] is None else 10.0 ** (surr_level[0] / 20.0)
     cfg.surr_mult[1] = 1.0 if surr_level[1] is None else 10.0 ** (surr_level[1] / 20.0)
     if cfg.surr_mult[0] > 1.0 or cfg.surr_mult[1] > 1.0:
         log.error("%s: warning: surround levels probably shouldn't be greater than 0dB", name)
@@ -283,23 +283,23 @@ class Matrix4Effect(Effect):
         hp = bq.normalize(*bq.design(bq.HIGHPASS, fs, 500.0, 0.5))
         lp = bq.normalize(*bq.design(bq.LOWPASS, fs, 5000.0, 0.5))
         self.bp_c = np.stack([np.array(hp), np.array(hp), np.array(lp), np.array(lp)], axis=1)
-        self.g_env = m4.ewma_g(fs, m4.ENV_SMOOTH_TIME)
+        self.g_env = float(m4.ewma_g(fs, m4.ENV_SMOOTH_TIME))
         # dynamic shelf params (matrix4.c:79-87)
         self.shelf = self._dyn_shelf_params(fs, cfg.shelf_f0)
         self.lowpass = self._dyn_shelf_params(fs, cfg.lowpass_f0 if cfg.lowpass_f0 > 0 else 6000.0)
         if cfg.lowpass_f0 > 0.0:
             lp_f = (fs + cfg.lowpass_f0) / 2.0
-            self.lowpass_mult = np.sqrt(1.0 / (1.0 + (lp_f * lp_f / (cfg.lowpass_f0 * cfg.lowpass_f0))))
+            self.lowpass_mult = float(np.sqrt(1.0 / (1.0 + (lp_f * lp_f / (cfg.lowpass_f0 * cfg.lowpass_f0)))))
         else:
             self.lowpass_mult = 1.0
         self.shelf_mult = cfg.shelf_mult
         # smf for background cs weight (matrix4.c:409-410)
-        self.bg_g0 = 1.0 - np.exp(-1.0 / (fs_ds * (m4.ACCOM_TIME * 2.0 / 1000.0 / 2.1972)))
+        self.bg_g0 = float(1.0 - np.exp(-1.0 / (fs_ds * (m4.ACCOM_TIME * 2.0 / 1000.0 / 2.1972))))
         self.bg_c0 = 0.01 * 4.0
         self.bg_c1 = 1e-6 * 4.0
         # phase flip params (matrix4_common.c:469-473)
         self.pf_c0 = 0.667829372575655
-        self.pf_c1 = np.log(0.0005 * (44100.0 / fs))
+        self.pf_c1 = float(np.log(0.0005 * (44100.0 / fs)))
         self.fade_frames = m4.time_to_frames(FADE_TIME, fs)
         self.len = cfg.lookahead_frames + CS_INTERP_DELAY_FRAMES
         self.surr_delay_frames = cfg.surr_delay_frames
@@ -313,7 +313,8 @@ class Matrix4Effect(Effect):
         cos_w0_p1 = np.cos(w0) + 1.0
         norm = 1.0 / (sin_w0 + cos_w0_p1)
         c2 = (sin_w0 - cos_w0_p1) * norm
-        return {"sin_w0": sin_w0, "cos_w0_p1": cos_w0_p1, "norm": norm, "c2": c2}
+        # plain floats: weak-typed under f32 compute (TPU)
+        return {"sin_w0": float(sin_w0), "cos_w0_p1": float(cos_w0_p1), "norm": float(norm), "c2": float(c2)}
 
     def state0(self):
         p = self.ev_params
@@ -400,8 +401,9 @@ class Matrix4Effect(Effect):
         fade_sm = (1.0 - jnp.cos(fade_lin * np.pi)) * 0.5
         fade_mult_ticks = jnp.where(fade_p_at > 0, fade_sm, jnp.where(dis, 0.0, 1.0))
 
-        # control-rate scan
-        p = self.ev_params
+        # control-rate scan (params cast so f64 scalars don't leak into the
+        # f32 carries on TPU — m4_engine.cast_params)
+        p = m4.cast_params(self.ev_params, x.dtype)
         calc = m4.calc_matrix_coefs_v4 if cfg.matrix_ver == "v4" else m4.calc_matrix_coefs_v1
 
         def control_step(carry, inp):
@@ -418,7 +420,7 @@ class Matrix4Effect(Effect):
             shelf_ct0 = w + (1.0 - w) * self.shelf_mult
             shelf_ct1 = (shelf_ct0 - 1.0) * ct_pcf + 1.0
             lp_ct0 = w + (1.0 - w) * self.lowpass_mult
-            lp_ct1 = (lp_ct0 - 1.0) * jnp.power(jnp.maximum(ct_pcf, 1e-300), 1.0 / self.shelf_mult) + 1.0
+            lp_ct1 = (lp_ct0 - 1.0) * jnp.power(jnp.maximum(ct_pcf, m4.DBL_MIN), 1.0 / self.shelf_mult) + 1.0
             dp_lr = out["ax_dpwr_lr"] if cfg.do_dpwr_decouple else out["ax_lr"]
             dp_cs = out["ax_dpwr_cs"] if cfg.do_dpwr_decouple else out["ax_cs"]
             m, rets = calc(

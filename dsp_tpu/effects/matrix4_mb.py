@@ -318,7 +318,7 @@ class Matrix4MbEffect(Effect):
         fade_sm = (1.0 - jnp.cos(fade_lin * np.pi)) * 0.5
         fade_ticks = jnp.where(fade_p_at > 0, fade_sm, jnp.where(dis, 0.0, 1.0))
 
-        p = self.ev_params
+        p = m4.cast_params(self.ev_params, x.dtype)
         calc = m4.calc_matrix_coefs_v4 if cfg.matrix_ver == "v4" else m4.calc_matrix_coefs_v1
         ev_step_band = jax.vmap(
             lambda pp, st_, env_, pwr_, ts: m4.event_step(pp, st_, env_, pwr_, ts),

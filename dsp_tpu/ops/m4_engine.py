@@ -46,9 +46,14 @@ NORM_ACCOM_FACTOR = 0.9
 DIFF_OVERSHOOT = 1.001
 DOWNSAMPLE_FACTOR = 32
 
-M_PI_4 = np.pi / 4.0
-M_PI_2 = np.pi / 2.0
-DBL_MIN = np.finfo(np.float64).tiny
+# plain Python floats (weak-typed) so f32 compute on TPU is not promoted to
+# f64 by strict np.float64 scalars
+M_PI_4 = float(np.pi / 4.0)
+M_PI_2 = float(np.pi / 2.0)
+# the C engine guards divisions with DBL_MIN (matrix4_common.c); f64's tiny
+# underflows to 0 in float32, so use f32's smallest normal — still far below
+# any audio-scale quantity, and representable in both dtypes
+DBL_MIN = float(np.finfo(np.float32).tiny)
 
 
 def ewma_g(fs, tc_ms):
@@ -123,8 +128,8 @@ def _norm_axes(lr, cs):
 def _drift_err_scale(lr0, cs0, lr1, cs1, sens_err):
     import jax.numpy as jnp
 
-    lr_err = jnp.abs(lr1 - lr0) * (2.0 / np.pi)
-    cs_err = jnp.abs(cs1 - cs0) * (2.0 / np.pi)
+    lr_err = jnp.abs(lr1 - lr0) * float(2.0 / np.pi)
+    cs_err = jnp.abs(cs1 - cs0) * float(2.0 / np.pi)
     return 1.0 + (lr_err + cs_err) * sens_err
 
 
@@ -189,6 +194,27 @@ def biquad_step(c, m0, m1, s):
 
 
 # --- event engine ---
+
+
+def cast_params(p, dtype):
+    """Cast float params to the compute dtype at the trace boundary.
+
+    Params are host-side numpy float64 scalars/arrays; under float32 compute
+    (TPU) they must not leak f64 into scan carries (strict np.float64 scalars
+    promote, unlike weak Python floats). Integer/bool params stay as-is."""
+    import jax.numpy as jnp
+
+    out = {}
+    for k, v in p.items():
+        if isinstance(v, dict):
+            out[k] = cast_params(v, dtype)
+            continue
+        a = np.asarray(v)
+        if np.issubdtype(a.dtype, np.floating):
+            out[k] = jnp.asarray(a, dtype)
+        else:
+            out[k] = v
+    return out
 
 
 def make_event_params(fs_ds, base_thresh_scale=1.0, base_ord_notch_scale=0.7,
