@@ -399,7 +399,7 @@ class Matrix4Effect(Effect):
         posf = fade_p_at.astype(x.dtype) / self.fade_frames
         fade_lin = jnp.where(dis, posf, 1.0 - posf)
         fade_sm = (1.0 - jnp.cos(fade_lin * np.pi)) * 0.5
-        fade_mult_ticks = jnp.where(fade_p_at > 0, fade_sm, jnp.where(dis, 0.0, 1.0))
+        fade_mult_ticks = jnp.where(fade_p_at > 0, fade_sm, (~dis).astype(x.dtype))
 
         # control-rate scan (params cast so f64 scalars don't leak into the
         # f32 carries on TPU — m4_engine.cast_params)

@@ -96,8 +96,8 @@ class Matrix4MbEffect(Effect):
         # integer params must stay scalar (they index/bound loops)
         for k in ("buf_len", "sample_frames", "max_hold_frames", "min_hold_frames"):
             self.ev_params[k] = per_band[0][k]
-        self.g_ev_thresh = m4.ewma_g(fs_ds, m4.EVENT_SAMPLE_TIME)
-        self.g_env = m4.ewma_g(fs, m4.ENV_SMOOTH_TIME)
+        self.g_ev_thresh = float(m4.ewma_g(fs_ds, m4.EVENT_SAMPLE_TIME))
+        self.g_env = float(m4.ewma_g(fs, m4.ENV_SMOOTH_TIME))
 
         # filter bank
         self.caps, self.comp = c5.build_filter_bank(fs, cfg.fb_type, cfg.fb_stop)
@@ -115,7 +115,7 @@ class Matrix4MbEffect(Effect):
                 self.contour[k] *= np.sqrt(1.0 / (1.0 + fc2 / cfg.lowpass_f0**2))
 
         self.pf_c0 = 0.667829372575655
-        self.pf_c1 = np.log(0.0005 * (44100.0 / fs))
+        self.pf_c1 = float(np.log(0.0005 * (44100.0 / fs)))
         self.fade_frames = m4.time_to_frames(FADE_TIME, fs)
         self.fb_buf_len = cfg.lookahead_frames + CS_INTERP_DELAY_FRAMES
         self.surr_delay_frames = cfg.surr_delay_frames
@@ -207,6 +207,8 @@ class Matrix4MbEffect(Effect):
                 # batched ap2 pair: lanes [a1_ch0, a1_ch1, a2p_ch0, a2p_ch1]
                 row_a1 = c5.ap2_biquad(*cc["a1"])
                 row_a2 = c5.ap2_biquad(*cc["a2_ap2"])
+                # bank allpasses are measured f32-stable (flat ~2e-4); the
+                # cheap plain scan keeps the 50-scan bank compilable
                 cmat = jnp.asarray(np.stack([row_a1, row_a1, row_a2, row_a2], axis=1), dtype=x2.dtype)
                 A, Bv, c0 = iir.biquad_coeffs_to_ss(cmat)
                 st_in = jnp.concatenate([bst["a1"][fi], bst["a2p"][fi]], axis=0)
@@ -251,9 +253,8 @@ class Matrix4MbEffect(Effect):
         y = x
         for s_i in range(2):
             row = coeffs[:, s_i]
-            cmat = jnp.asarray(np.tile(row[:, None], (1, C)), dtype=x.dtype)
-            A, Bv, c0 = iir.biquad_coeffs_to_ss(cmat)
-            st_i, y = iir.biquad_scan(A, Bv, c0, st[s_i].astype(x.dtype), y)
+            cmat = np.tile(row[:, None], (1, C))
+            st_i, y = iir.biquad_scan_auto(cmat, st[s_i].astype(x.dtype), y)
             out_st.append(st_i)
         return jnp.stack(out_st), y
 
@@ -316,7 +317,7 @@ class Matrix4MbEffect(Effect):
         posf = fade_p_at.astype(x.dtype) / self.fade_frames
         fade_lin = jnp.where(dis, posf, 1.0 - posf)
         fade_sm = (1.0 - jnp.cos(fade_lin * np.pi)) * 0.5
-        fade_ticks = jnp.where(fade_p_at > 0, fade_sm, jnp.where(dis, 0.0, 1.0))
+        fade_ticks = jnp.where(fade_p_at > 0, fade_sm, (~dis).astype(x.dtype))
 
         p = m4.cast_params(self.ev_params, x.dtype)
         calc = m4.calc_matrix_coefs_v4 if cfg.matrix_ver == "v4" else m4.calc_matrix_coefs_v1
@@ -324,8 +325,8 @@ class Matrix4MbEffect(Effect):
             lambda pp, st_, env_, pwr_, ts: m4.event_step(pp, st_, env_, pwr_, ts),
             in_axes=(_params_axes(p), 0, 0, 0, 0),
         )
-        etmax = jnp.asarray(self.ev_thresh_max)
-        etmin = jnp.asarray(self.ev_thresh_min)
+        etmax = jnp.asarray(self.ev_thresh_max, dtype=x.dtype)
+        etmin = jnp.asarray(self.ev_thresh_min, dtype=x.dtype)
         contour = jnp.asarray(self.contour, dtype=x.dtype)
 
         def control_step(carry, inp):
@@ -337,7 +338,7 @@ class Matrix4MbEffect(Effect):
             )
             d_lr = jnp.abs(ev["diff_last"][:, None, 0] - ev["diff_last"][None, :, 0])
             d_cs = jnp.abs(ev["diff_last"][:, None, 1] - ev["diff_last"][None, :, 1])
-            sim = m4.smoothstep(1.0 - jnp.maximum(d_lr, d_cs) * (16.0 / np.pi))
+            sim = m4.smoothstep(1.0 - jnp.maximum(d_lr, d_cs) * float(16.0 / np.pi))
             fact = (sim * cand[None, :]).sum(axis=1) - 1.0
             fact = jnp.where(cand, fact, 0.0)
             evt_target = etmax - (etmax - etmin) * fact * (1.0 / (N_BANDS - 1))

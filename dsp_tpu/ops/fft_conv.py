@@ -75,7 +75,11 @@ class OlsConv:
         pad = self.N - (self.hist + B)
         xt = jnp.concatenate([buf, jnp.zeros((pad, self.C), dtype=x.dtype)], axis=0)
         X = jnp.fft.rfft(xt, axis=0)
-        H = jnp.asarray(self.H.T)  # [N//2+1, C]
+        # filter spectrum cast to the signal's complex dtype ON THE HOST: a
+        # c128 constant in-graph either promotes the product or crashes the
+        # TPU constant folder (C128->F32 conversion is unimplemented there)
+        cdtype = np.complex64 if x.dtype == jnp.float32 else np.complex128
+        H = jnp.asarray(np.ascontiguousarray(self.H.T, dtype=cdtype))  # [N//2+1, C]
         Y = X * H
         y = jnp.fft.irfft(Y, n=self.N, axis=0).astype(x.dtype)
         out = y[self.hist : self.hist + B]
@@ -122,8 +126,11 @@ class UpolsConv:
         fdl = jnp.concatenate(
             [X[None].astype(cdtype), state["fdl"][:-1].astype(cdtype)], axis=0
         )  # [K, B+1, C]
-        H = jnp.asarray(np.transpose(self.Hf, (0, 2, 1)))  # [K, B+1, C]
-        Y = (fdl * H.astype(cdtype)).sum(axis=0)  # [B+1, C]
+        # host-side cast (see OlsConv.step: c128 constants crash TPU folding)
+        H = jnp.asarray(
+            np.ascontiguousarray(np.transpose(self.Hf, (0, 2, 1)), dtype=np.dtype(cdtype))
+        )  # [K, B+1, C]
+        Y = (fdl * H).sum(axis=0)  # [B+1, C]
         y = jnp.fft.irfft(Y, n=self.N, axis=0).astype(x.dtype)
         out = y[B:]
         return {"prev": x, "fdl": fdl}, out

@@ -122,6 +122,30 @@ def biquad_scan_df(A, Bv, c0, state, x):
         return jnp.stack([sh[-1], sl[-1]]), y
 
 
+def biquad_scan_auto(c, state, x):
+    """Precision-safe biquad scan from host coefficients.
+
+    c: HOST numpy [5, C] normalized coefficients; state: [C, 2] (single
+    array, both dtypes). Picks the double-float coupled-form scan under
+    float32 — a plain f32 scan rounds the recurrence matrix enough to push
+    near-DC shelf poles outside the unit circle (matrix4_mb's 10 Hz fshape
+    blew up to a subsonic full-scale rumble on TPU) — and the plain scan
+    under float64."""
+    c = np.asarray(c, dtype=np.float64)
+    A, Bv = _coupled_form_ss(c)
+    if x.dtype == jnp.float32:
+        stp = jnp.stack([state, jnp.zeros_like(state)])
+        stp2, y = biquad_scan_df(A, Bv, c[0], stp, x)
+        return stp2[0] + stp2[1], y
+    return biquad_scan(
+        jnp.asarray(A, x.dtype),
+        jnp.asarray(Bv, x.dtype),
+        jnp.asarray(c[0], x.dtype),
+        state,
+        x,
+    )
+
+
 def biquad_scan_seq(A, Bv, c0, state, x):
     """Sequential lax.scan reference implementation (for testing/CPU)."""
 

@@ -98,7 +98,7 @@ def _ewma_set_max(m, s, g):
 def _ewma_scale_asym(m, s, g, rise_sf, fall_sf):
     import jax.numpy as jnp
 
-    sf = jnp.where(s >= m, rise_sf, fall_sf)
+    sf = jnp.where(s >= m, rise_sf, fall_sf).astype(jnp.result_type(s))
     return _ewma_scale(m, s, g, sf)
 
 
@@ -175,7 +175,7 @@ def smf_asym_run(st, s, g0, c0, c1):
     import jax.numpy as jnp
 
     m0, m1 = st
-    c = jnp.where(s > m1, c0, c1)
+    c = jnp.where(s > m1, c0, c1).astype(jnp.result_type(s))
     g = jnp.minimum(g0 + c * jnp.abs(m0 - m1), 0.39)
     m0 = m0 + g * (s - m0)
     m1 = m1 + g * (m0 - m1)
@@ -473,7 +473,7 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     dir_cs_new = jnp.where(f1_use_ord, av[1], av[3])
     s["dir_lr"] = jnp.where(accept, dir_lr_new, st["dir_lr"])
     s["dir_cs"] = jnp.where(accept, dir_cs_new, st["dir_cs"])
-    s["ord_factor"] = s["ord_factor"] + jnp.where(accept & f1_use_ord, 1.0, 0.0)
+    s["ord_factor"] = s["ord_factor"] + (accept & f1_use_ord).astype(s["ord_factor"].dtype)
     s["ord_count"] = st["ord_count"] + jnp.where(accept & f1_use_ord & ~s["f1_fuse"], 1, 0)
     s["diff_count"] = st["diff_count"] + jnp.where(accept & ~f1_use_ord & ~s["f1_fuse"], 1, 0)
     s["f0_l"] = jnp.where(accept, s["f1_l"], st["f0_l"])
@@ -588,8 +588,8 @@ def _input_phasors(ph_lr, ph_cs):
     neg = ph_cs < 0.0
     sin_theta_in = jnp.where(neg, 0.5 * (beta + gamma), 0.5 * (beta - gamma))
     cos_theta_in = jnp.where(neg, 0.5 * (beta - gamma), 0.5 * (beta + gamma))
-    sin_theta = jnp.where(inside, sin_theta_in, jnp.where(neg, 1.0, 0.0))
-    cos_theta = jnp.where(inside, cos_theta_in, jnp.where(neg, 0.0, 1.0))
+    sin_theta = jnp.where(inside, sin_theta_in, neg.astype(sin_theta_in.dtype))
+    cos_theta = jnp.where(inside, cos_theta_in, (~neg).astype(cos_theta_in.dtype))
     l_real = sin_lr * cos_theta
     l_imag = sin_lr * sin_theta
     r_real = cos_lr * cos_theta
