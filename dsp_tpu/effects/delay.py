@@ -272,7 +272,7 @@ class ModDelayEffect(Effect):
         n_new = int(np.ceil(B * step)) + 1
         key, sub = jax.random.split(state["key"])
         u = jax.random.uniform(
-            sub, (n_new, MOD_NOISE_N, 2, lanes), dtype=jnp.float64,
+            sub, (n_new, MOD_NOISE_N, 2, lanes), dtype=state["y"].dtype,
             maxval=float(0x7FFFFFFF),
         )
         scale = 0.77 / MOD_NOISE_N / float(0x7FFFFFFF)

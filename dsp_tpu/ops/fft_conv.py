@@ -110,9 +110,12 @@ class UpolsConv:
         )  # [K, C, B+1]
 
     def state0(self):
+        # fdl spectra stored as (re, im) float pairs: complex arrays must not
+        # cross the jit boundary (complex D2H/H2D is unimplemented over the
+        # tunneled TPU runtime); XLA represents complex as re/im pairs anyway
         return {
             "prev": np.zeros((self.B, self.C), dtype=np.float64),
-            "fdl": np.zeros((self.K, self.B + 1, self.C), dtype=np.complex128),
+            "fdl": np.zeros((self.K, self.B + 1, self.C, 2), dtype=np.float64),
         }
 
     def step(self, state, x):
@@ -123,9 +126,8 @@ class UpolsConv:
         seg = jnp.concatenate([state["prev"].astype(x.dtype), x], axis=0)  # [2B, C]
         X = jnp.fft.rfft(seg, axis=0)  # [B+1, C]
         cdtype = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
-        fdl = jnp.concatenate(
-            [X[None].astype(cdtype), state["fdl"][:-1].astype(cdtype)], axis=0
-        )  # [K, B+1, C]
+        fdl_c = state["fdl"][..., 0].astype(x.dtype) + 1j * state["fdl"][..., 1].astype(x.dtype)
+        fdl = jnp.concatenate([X[None].astype(cdtype), fdl_c[:-1]], axis=0)  # [K, B+1, C]
         # host-side cast (see OlsConv.step: c128 constants crash TPU folding)
         H = jnp.asarray(
             np.ascontiguousarray(np.transpose(self.Hf, (0, 2, 1)), dtype=np.dtype(cdtype))
@@ -133,4 +135,5 @@ class UpolsConv:
         Y = (fdl * H).sum(axis=0)  # [B+1, C]
         y = jnp.fft.irfft(Y, n=self.N, axis=0).astype(x.dtype)
         out = y[B:]
-        return {"prev": x, "fdl": fdl}, out
+        fdl_pairs = jnp.stack([fdl.real, fdl.imag], axis=-1).astype(x.dtype)
+        return {"prev": x, "fdl": fdl_pairs}, out

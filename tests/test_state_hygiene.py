@@ -1,0 +1,44 @@
+"""State pytree hygiene: no complex leaves across the jit boundary.
+
+Complex device<->host transfers are unimplemented over the tunneled TPU
+runtime, so every effect must store spectra/complex state as (re, im) float
+pairs (see ops/fft_conv.py UpolsConv). Also checks that a float32 chain step
+round-trips its own state structure (dtype-stable carries — strict np.float64
+scalars leaking into a scan carry break `lax.scan` under f32).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsp_tpu.chain.chain import CompiledChain, build_chain_from_args
+from dsp_tpu.core.types import StreamInfo
+
+CHAINS = [
+    ["gain", "-3", "eq", "1k", "1.0", "+3"],
+    ["lowpass", "-r", "120", "0.7071"],
+    ["fir_p", "coefs:0.1,0.2,0.3"],
+    ["hilbert", "-p", "255"],
+    ["decorrelate", "-s", "7", "3"],
+    ["delay", "-m", "0.5m", "-b", "2", "10m"],
+    ["resample", "48k"],
+    ["crossfeed", "700", "4.5"],
+    ["matrix4", "-6"],
+]
+
+
+@pytest.mark.parametrize("args", CHAINS, ids=lambda a: a[0])
+def test_no_complex_state_and_f32_stable(args):
+    chain = build_chain_from_args(list(args), StreamInfo(44100, 2))
+    cc = CompiledChain(chain, block_frames=2048, dtype=jnp.float32)
+    for leaf in jax.tree_util.tree_leaves(cc.states):
+        assert not np.issubdtype(np.asarray(leaf).dtype, np.complexfloating), (
+            f"complex state leaf in {args[0]}"
+        )
+    x = jnp.zeros((cc.block_frames, 2), jnp.float32)
+    # one jitted step: raises if any carry is dtype-unstable under f32
+    st, y = cc._step(cc.states, x)
+    assert y.dtype == jnp.float32
+    for a, b in zip(jax.tree_util.tree_leaves(cc.states), jax.tree_util.tree_leaves(st)):
+        assert np.asarray(a).shape == np.asarray(b).shape
