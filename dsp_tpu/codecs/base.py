@@ -113,12 +113,12 @@ def _file_ext(path):
     return path[i + 1 :].lower() if i >= 0 else ""
 
 
-# Probe fallbacks mirroring codec.c:200-231. The reference probes
-# sndfile/ffmpeg for unknown read files and pulse/alsa/ao for write devices;
-# here the read fallback is the wav prober (+ sndfile when available) and the
-# write fallback is null (no audio devices on TPU hosts by default).
+# Probe fallbacks mirroring codec.c:200-231: sndfile/ffmpeg (+ own wav
+# prober) for unknown read files; pulse/alsa/ao for write devices (these
+# register only when their libraries exist — absent on TPU hosts, where the
+# probe falls through to null).
 _READ_FALLBACKS = ["sndfile", "wav", "ffmpeg"]
-_WRITE_FALLBACKS = ["null"]
+_WRITE_FALLBACKS = ["pulse", "alsa", "ao", "null"]
 
 
 def init_codec(params: CodecParams) -> Codec:
@@ -173,6 +173,12 @@ def _register_builtins():
     except ImportError:
         log.verbose("codecs: libsndfile support unavailable")
     from dsp_tpu.codecs import ffmpeg as _ffmpeg  # noqa: F401 (self-gating)
+    # device codecs gate on their system libraries (configure:128-151 analog)
+    for _dev in ("alsa", "pulse", "ao"):
+        try:
+            __import__(f"dsp_tpu.codecs.{_dev}")
+        except ImportError:
+            log.verbose("codecs: %s support unavailable", _dev)
 
 
 _register_builtins()
