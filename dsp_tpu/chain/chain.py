@@ -430,7 +430,9 @@ class CompiledChain:
         for e in chain.effects:
             self._block_at[id(e)] = int(frames)
             frames *= e.ratio
-        self._runtime_effects = [e for e in chain.effects if not getattr(e, "runtime_noop", False)]
+        self._runtime_effects = self._fuse(
+            [e for e in chain.effects if not getattr(e, "runtime_noop", False)]
+        )
         self.states = [self._initial_state(e) for e in self._runtime_effects]
 
         def step(states, x):
@@ -446,6 +448,34 @@ class CompiledChain:
         self._step = jax.jit(step)
         self._multi = jax.jit(multi)
         self._step_fn_raw = step
+
+    def _fuse(self, effects):
+        """Backend fusion: collapse runs of 2+ adjacent biquads into one
+        CascadeBlockedPlan kernel (one carry scan + one [L, L] Toeplitz set
+        instead of K). Execution-only — the chain object, plot output, and
+        merge semantics stay reference-identical (biquad.c merges only
+        disjoint-channel biquads)."""
+        from dsp_tpu.effects.biquad import BiquadEffect, FusedBiquadCascade
+
+        out = []
+        run = []
+
+        def flush():
+            if len(run) >= 2:
+                out.append(FusedBiquadCascade(list(run)))
+            else:
+                out.extend(run)
+            run.clear()
+
+        for e in effects:
+            blk = self._block_at.get(id(e), 0)
+            if type(e) is BiquadEffect and blk % 128 == 0 and blk >= 256:
+                run.append(e)
+            else:
+                flush()
+                out.append(e)
+        flush()
+        return out
 
     def _initial_state(self, e):
         if hasattr(e, "state_for_block"):

@@ -468,3 +468,41 @@ _USAGES = [
 
 for _name, _usage, _num in _USAGES:
     register_effect(_name, f"{_name} {_usage}", biquad_effect_init, _num)
+
+
+class FusedBiquadCascade:
+    """Compile-time fusion of consecutive BiquadEffects (execution only).
+
+    Built by chain.CompiledChain when 2+ biquads run back-to-back on the same
+    stream with a blocked-kernel-compatible block size; the user-visible
+    chain (plot output, effect listing, merge semantics) stays identical to
+    the reference, which keeps same-channel biquads separate
+    (biquad.c:344-376 only merges disjoint selectors).
+    """
+
+    name = "biquad(fused-cascade)"
+    ratio = 1
+    runtime_noop = False
+
+    def __init__(self, effects):
+        self.effects = effects
+        self.istream = effects[0].istream
+        self.ostream = effects[-1].ostream
+        self._plan = iir.CascadeBlockedPlan([e.c for e in effects])
+
+    def state0(self):
+        return np.zeros((2, self.istream.channels, self._plan.n), dtype=np.float64)
+
+    def step(self, state, x):
+        return iir.lti_blocked(self._plan, state, x)
+
+    # runtime-only wrapper: the constituent effects stay in the chain object,
+    # so host-side hooks are no-ops here (biquads define none anyway)
+    def host_update(self, state):
+        pass
+
+    def host_finish(self, state):
+        pass
+
+    def signal(self):
+        pass

@@ -273,6 +273,32 @@ def _df_reduce(ph, pl, axis):
     return ph[..., 0], pl[..., 0]
 
 
+def _pad_pow2(a, axis):
+    n = a.shape[axis]
+    m = 1
+    while m < n:
+        m *= 2
+    if m == n:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, m - n)
+    return jnp.pad(a, pad)
+
+
+def _df_matmul_n(Bh, Bl, Ah, Al):
+    """(B @ A) for [..., n, n] double-float matrices, any n (tree-reduced)."""
+    ph, pl = _df_mul(
+        Bh[..., :, :, None], Bl[..., :, :, None], Ah[..., None, :, :], Al[..., None, :, :]
+    )  # [..., i, k, j]
+    return _df_reduce(_pad_pow2(ph, -2), _pad_pow2(pl, -2), -2)
+
+
+def _df_matvec_n(Bh, Bl, vh, vl):
+    """(B @ v) for [..., n, n] df matrix and [..., n] df vector, any n."""
+    ph, pl = _df_mul(Bh, Bl, vh[..., None, :], vl[..., None, :])  # [..., i, k]
+    return _df_reduce(_pad_pow2(ph, -1), _pad_pow2(pl, -1), -1)
+
+
 def _df_inject(Vh, Vl, xc):
     """Per-chunk carry injection v = V @ x in double-float.
 
@@ -482,5 +508,169 @@ def _biquad_blocked_impl(plan, state, x):
     Mp, vp = jax.lax.associative_scan(combine, (M, v), axis=0)
     s_end = (Mp @ s0[None, ..., None])[..., 0] + vp  # state after chunk n
     s_start = jnp.concatenate([s0[None], s_end[:-1]], axis=0)  # [Nc, C, 2]
+    y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z
+    return jnp.stack([s_end[-1], jnp.zeros_like(s_end[-1])]), y.reshape(B, C)
+
+
+# --- fused biquad cascades --------------------------------------------------
+
+
+class CascadeBlockedPlan:
+    """Blocked-kernel plan for a SERIES of biquads fused into one LTI system.
+
+    The reference runs each biquad as its own per-sample pass (biquad.c:
+    296-315, one effect per filter). On TPU, running K cascaded biquads as K
+    separate blocked kernels costs K carry scans and K sets of [L, L]
+    matmuls; composing them host-side into one 2K-state system
+
+        s[n] = A s[n-1] + B x[n],   y[n] = D x[n] + C s[n-1]
+
+    (series connection: A = [[A1, 0], [B2 C1, A2]], B = [B1; B2 D1],
+    C = [D2 C1, C2], D = D2 D1, per channel, each stage in the coupled
+    basis) gives ONE kernel with the same [L, L] within-chunk Toeplitz
+    (built from the composite impulse response h) and a single 2K-dim carry
+    chain. Used only as a compile-time fusion (chain.CompiledChain) so the
+    user-visible chain and plot output stay identical to the reference.
+    """
+
+    def __init__(self, cs, L=128):
+        """cs: list of [5, C] normalized coefficient arrays, stage order."""
+        cs = [np.asarray(c, dtype=np.float64) for c in cs]
+        C = cs[0].shape[1]
+        self.L = L
+        self.C = C
+        self.K = len(cs)
+        n = 0
+        A = np.zeros((C, 0, 0))
+        B = np.zeros((C, 0))
+        Crow = np.zeros((C, 0))
+        D = np.ones(C)
+        for c in cs:
+            A2, B2 = _coupled_form_ss(c)  # [C, 2, 2], [C, 2]
+            D2 = c[0]  # [C]
+            C2 = np.zeros((C, 2))
+            C2[:, 0] = 1.0  # coupled basis keeps the output row at [1, 0]
+            An = np.zeros((C, n + 2, n + 2))
+            An[:, :n, :n] = A
+            An[:, n:, :n] = np.einsum("ci,cj->cij", B2, Crow)
+            An[:, n:, n:] = A2
+            Bn = np.concatenate([B, B2 * D[:, None]], axis=1)
+            Cn = np.concatenate([Crow * D2[:, None], C2], axis=1)
+            A, B, Crow, D = An, Bn, Cn, D2 * D
+            n += 2
+        self.n = n
+        pows = np.zeros((L + 1, C, n, n))
+        pows[0] = np.eye(n)[None]
+        for k in range(1, L + 1):
+            pows[k] = np.einsum("cij,cjk->cik", A, pows[k - 1])
+        # composite impulse response h[k] = C A^(k-1) B (k >= 1); h[0] = D
+        h = np.einsum("ci,kcij,cj->kc", Crow, pows[: L - 1], B)  # h[1..L-1]
+        W = np.zeros((C, L, L))
+        for i in range(1, L):
+            for j in range(i):
+                W[:, i, j] = h[i - 1 - j]
+        self.W = W
+        self.P = np.einsum("ci,kcij->ckj", Crow, pows[:L])  # [C, L, n]
+        self.V = np.stack(
+            [np.einsum("cij,cj->ci", pows[L - 1 - j], B) for j in range(L)], axis=2
+        )  # [C, n, L]
+        self.AL = pows[L]
+        self.c0 = D
+        self.B_in = B
+        self.AL_hi, self.AL_lo = _split_f64(self.AL)
+        self.V_hi, self.V_lo = _split_f64(self.V)
+        self.P_hi, self.P_lo = _split_f64(self.P)
+        self.W_hi, self.W_lo = _split_f64(self.W)
+        self._pow2 = {0: self.AL}  # AL^(2^l) host-f64 cache (Kogge-Stone)
+
+    def pow2_split(self, level):
+        """(hi, lo) f32 split of AL^(2^level), computed host-side in f64."""
+        m = max(self._pow2)
+        while m < level:
+            nxt = np.einsum("cij,cjk->cik", self._pow2[m], self._pow2[m])
+            m += 1
+            self._pow2[m] = nxt
+        return _split_f64(self._pow2[level])
+
+
+def lti_blocked(plan, state, x):
+    """Run a block with a CascadeBlockedPlan. state: [2, C, n] (hi, lo)."""
+    with jax.default_matmul_precision("float32"):
+        return _lti_blocked_impl(plan, state, x)
+
+
+def _lti_blocked_impl(plan, state, x):
+    B, C = x.shape
+    L = plan.L
+    n = plan.n
+    Nc = B // L
+    dt = x.dtype
+    xc = x.reshape(Nc, L, C)
+    c0 = jnp.asarray(plan.c0, dtype=dt)
+    if dt == jnp.float32:
+        G = 8
+        T = L // G
+        zp_h = jnp.einsum(
+            "cigt,ngtc->ngic", jnp.asarray(plan.W_hi.reshape(C, L, G, T)),
+            xc.reshape(Nc, G, T, C), preferred_element_type=dt,
+        )
+        zp_l = jnp.einsum(
+            "cigt,ngtc->ngic", jnp.asarray(plan.W_lo.reshape(C, L, G, T)),
+            xc.reshape(Nc, G, T, C), preferred_element_type=dt,
+        )
+        zh, zl = _df_reduce(zp_h, zp_l, 1)
+        vh, vl = _df_inject(jnp.asarray(plan.V_hi), jnp.asarray(plan.V_lo), xc)
+        # fold the incoming state into the first chunk's injection:
+        # v[0] += AL @ s0, so the Kogge-Stone pass below yields s_end directly
+        s0h_in, s0l_in = _df_matvec_n(
+            jnp.asarray(plan.AL_hi), jnp.asarray(plan.AL_lo), state[0], state[1]
+        )
+        v0h, v0l = _df_add(vh[0], vl[0], s0h_in, s0l_in)
+        wh = jnp.concatenate([v0h[None], vh[1:]], axis=0)
+        wl = jnp.concatenate([v0l[None], vl[1:]], axis=0)
+        # carry chain as a Kogge-Stone doubling scan: the per-chunk matrix is
+        # CONSTANT (AL), so prefix matrices never need computing in-graph —
+        # each level applies the host-precomputed power AL^(2^l) to shifted
+        # partial sums (matrix-VECTOR df work only, ~n^2 not n^3)
+        lvl = 0
+        span = 1
+        while span < Nc:
+            Mh_np, Ml_np = plan.pow2_split(lvl)
+            Mh = jnp.asarray(Mh_np)
+            Ml = jnp.asarray(Ml_np)
+            ph, pl = _df_matvec_n(Mh, Ml, wh[:-span], wl[:-span])
+            uh, ul = _df_add(wh[span:], wl[span:], ph, pl)
+            wh = jnp.concatenate([wh[:span], uh], axis=0)
+            wl = jnp.concatenate([wl[:span], ul], axis=0)
+            lvl += 1
+            span *= 2
+        sh, sl = wh, wl  # inclusive prefix: state after chunk k
+        s0h = jnp.concatenate([state[0][None], sh[:-1]], axis=0)  # [Nc, C, n]
+        s0l = jnp.concatenate([state[1][None], sl[:-1]], axis=0)
+        yc = (
+            jnp.einsum("clk,nck->nlc", jnp.asarray(plan.P_hi), s0h)
+            + jnp.einsum("clk,nck->nlc", jnp.asarray(plan.P_hi), s0l)
+            + jnp.einsum("clk,nck->nlc", jnp.asarray(plan.P_lo), s0h)
+        )
+        yh, ylo = _two_prod(c0, xc)
+        yh, ylo = _df_add(yh, ylo, zh, zl)
+        y = yh + (ylo + yc)
+        return jnp.stack([sh[-1], sl[-1]]), y.reshape(B, C)
+    z = jnp.einsum("cij,njc->nic", jnp.asarray(plan.W, dtype=dt), xc, preferred_element_type=dt)
+    P = jnp.asarray(plan.P, dtype=dt)
+    V = jnp.asarray(plan.V, dtype=dt)
+    AL = jnp.asarray(plan.AL, dtype=dt)
+    s0 = state[0] + state[1]
+    v = jnp.einsum("cij,njc->nci", V, xc, preferred_element_type=dt)
+    M = jnp.broadcast_to(AL, (Nc,) + AL.shape)
+
+    def combine(a, b):
+        Ma, va = a
+        Mb, vb = b
+        return Mb @ Ma, (Mb @ va[..., None])[..., 0] + vb
+
+    Mp, vp = jax.lax.associative_scan(combine, (M, v), axis=0)
+    s_end = (Mp @ s0[None, ..., None])[..., 0] + vp
+    s_start = jnp.concatenate([s0[None], s_end[:-1]], axis=0)
     y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z
     return jnp.stack([s_end[-1], jnp.zeros_like(s_end[-1])]), y.reshape(B, C)
