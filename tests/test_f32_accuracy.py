@@ -80,3 +80,45 @@ def test_blocked_and_fallback_states_interchangeable():
     y = np.concatenate([np.asarray(y1, np.float64), np.asarray(y2, np.float64)])
     err = np.abs(y - ref).max()
     assert err < 1e-6, f"handover: {err:.3e}"
+
+
+def test_fused_cascade_matches_unfused():
+    """CompiledChain fuses adjacent biquads (iir.CascadeBlockedPlan); the
+    fused kernel must match per-effect execution exactly in f64 and to
+    <= -120 dBFS in f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsp_tpu.chain.chain import CompiledChain, build_chain_from_args
+    from dsp_tpu.core.types import StreamInfo
+    from dsp_tpu.effects.biquad import FusedBiquadCascade
+
+    args = ["eq", "1k", "1.0", "+3", "lowshelf", "90", "0.7071s", "+4",
+            "highpass", "30", "0.7071", "lowpass", "18k", "0.7071"]
+    chain = build_chain_from_args(args, StreamInfo(FS, 2))
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((65536, 2)) * 0.2
+
+    cc = CompiledChain(chain, block_frames=2048, dtype=jnp.float64)
+    assert any(isinstance(e, FusedBiquadCascade) for e in cc._runtime_effects)
+    y_fused = np.asarray(cc.process_array(x, drain=False, discard=False))
+
+    # unfused golden: run each effect's step sequentially
+    effs = [e for e in chain.effects if not getattr(e, "runtime_noop", False)]
+    states = [jnp.asarray(e.state0()) for e in effs]
+    ys = []
+    for i in range(0, len(x), 2048):
+        xx = jnp.asarray(x[i : i + 2048])
+        new = []
+        for e, st in zip(effs, states):
+            st, xx = e.step(st, xx)
+            new.append(st)
+        states = new
+        ys.append(np.asarray(xx))
+    y_ref = np.concatenate(ys)
+    assert np.abs(y_fused - y_ref).max() < 1e-12
+
+    cc32 = CompiledChain(chain, block_frames=2048, dtype=jnp.float32)
+    y32 = np.asarray(cc32.process_array(x, drain=False, discard=False), np.float64)
+    err = np.abs(y32 - y_ref).max()
+    assert err < 1e-6, f"fused f32: {err:.3e}"
