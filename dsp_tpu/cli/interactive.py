@@ -73,6 +73,7 @@ class KeyReader:
         import termios
         import tty
 
+        self._stop.clear()  # restartable after a suspend/resume cycle
         try:
             self._fd = os.open("/dev/tty", os.O_RDONLY)
         except OSError:
