@@ -8,6 +8,7 @@ non-interactive processing loop. Interactive transport (keys/seek/pause),
 ABX mode, and the status-line display live in dsp_tpu.cli.interactive.
 """
 
+import os
 import sys
 from fractions import Fraction
 
@@ -374,6 +375,17 @@ def run_offline(state, chain, out_writer, progress_cb=None):
     from dsp_tpu.chain.chain import warm_d2h_async
 
     warm_d2h_async()  # overlap the one-time tunnel warm-up with compile
+    # tracing/profiling hook (SURVEY §5): DSP_TPU_PROFILE=<dir> captures a
+    # JAX/XLA profiler trace of the whole offline run (view with tensorboard
+    # or xprof); the reference's analog is verbose init/latency logging only
+    profile_dir = os.environ.get("DSP_TPU_PROFILE")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
     cc = CompiledChain(chain, block_frames=state.block_frames)
     B = cc.block_frames
     meta_blocks = max(1, (1 << 20) // max(1, B * chain.istream.channels))  # ~1M samples / dispatch
