@@ -301,11 +301,15 @@ class StreamLoop:
         return pos
 
     def do_seek(self, inp, pos, offset, absolute=None):
-        """Seek with chain-latency compensation (dsp.c:709-733)."""
+        """Seek with chain+output-latency compensation (dsp.c:709-733)."""
+        out_delay = getattr(self.writer, "delay", lambda: 0)()
         if absolute is not None:
             target = absolute
         else:
             delay = int(self.chain_delay_sec() * inp.codec.fs)
+            # output buffer delay is in output-rate frames; convert
+            r = float(self.chain.ratio) or 1.0
+            delay += int(out_delay / r)
             target = pos + offset - delay
         target = max(inp.start_pos, target)
         got = inp.codec.seek(target)
@@ -313,6 +317,9 @@ class StreamLoop:
             self.cc.reset()
             self.discard_left = self.chain.output_discard
             self.xfade = None
+            drop = getattr(self.writer, "drop", None)
+            if drop:
+                drop()  # discard buffered output (dsp.c:724-727)
             return got
         return pos
 

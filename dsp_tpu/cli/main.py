@@ -564,7 +564,9 @@ def main(argv=None):
         log.error("error: channels mismatch: %s", out_codec.path)
         return 1
 
-    writer = OutputWriter(state, out_codec)
+    from dsp_tpu.cli.writebuf import AsyncWriter
+
+    writer = AsyncWriter(OutputWriter(state, out_codec), max_blocks=state.output_buf_ratio)
     in_codec = state.inputs[0].codec
     needs = chain_needs_dither(chain)
     do_dither = should_dither(in_codec, out_codec, needs, state.force_dither)
@@ -600,6 +602,11 @@ def main(argv=None):
     finally:
         for inp in state.inputs:
             inp.codec.close()
+        try:
+            writer.close()  # flush the writer thread before the sink closes
+        except Exception as e:
+            log.error("error: output: %s", e)
+            ret = 1
         out_codec.close()
     if state.clip_count > 0:
         log.info(
