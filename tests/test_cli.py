@@ -132,3 +132,55 @@ class TestCliInteractive:
         assert exited, "interactive dsp did not exit after 'q'"
         y = np.fromfile(out, "<f8")
         assert len(y) > 0  # infinite input: only 'q' ends the run
+
+
+class TestCliSeek:
+    def test_seek_keys_with_finite_input(self, tmp_path):
+        """Drive ',' (back 5s) and '.' (forward 5s) through the pty: the
+        output-buffer drop + latency compensation path (dsp.c:709-733)."""
+        import pty
+        import select
+        import time
+
+        out = str(tmp_path / "o.raw")
+        cmd = [sys.executable, "-m", "dsp_tpu.cli.main", "-i", "-q", "-t", "sgen",
+               "sine:freq=1k", "-o", "-t", "pcm", "-e", "double", out,
+               "gain", "-6"]
+        pid, fd = pty.fork()
+        if pid == 0:
+            os.environ.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu", PYTHONPATH=REPO)
+            os.execvp(cmd[0], cmd)
+        t0 = time.time()
+        buf = b""
+        sent = 0
+        exited = False
+        while time.time() - t0 < 100:
+            r, _, _ = select.select([fd], [], [], 0.2)
+            if r:
+                try:
+                    buf += os.read(fd, 65536)
+                except OSError:
+                    pass
+            dt = time.time() - t0
+            if sent == 0 and dt > 6:
+                os.write(fd, b".")  # seek forward 5 s
+                sent = 1
+            elif sent == 1 and dt > 7:
+                os.write(fd, b",")  # seek back 5 s
+                sent = 2
+            elif sent == 2 and dt > 8:
+                os.write(fd, b"q")
+                sent = 3
+            done, _ = os.waitpid(pid, os.WNOHANG)
+            if done:
+                exited = True
+                break
+        if not exited:
+            import signal
+
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+        assert exited, "did not exit after seeks + q"
+        y = np.fromfile(out, "<f8").reshape(-1, 1)
+        assert len(y) > 0
+        assert np.isfinite(y).all()
