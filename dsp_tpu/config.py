@@ -33,7 +33,25 @@ if _cache_dir is None:
     _xdg = os.environ.get("XDG_CACHE_HOME") or os.path.join(
         os.path.expanduser("~"), ".cache"
     )
-    _cache_dir = os.path.join(_xdg, "dsp_tpu", "xla")
+    # key the default cache by host CPU capabilities: XLA:CPU AOT results
+    # embed machine features, and loading one compiled on a different
+    # machine type can SIGILL (observed cpu_aot_loader warnings when this
+    # home dir migrates between dev hosts)
+    def _machine_tag():
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.sha256(line.encode()).hexdigest()[:12]
+        except OSError:
+            pass
+        import platform
+
+        return platform.machine()
+
+    _cache_dir = os.path.join(_xdg, "dsp_tpu", f"xla-{_machine_tag()}")
 if _cache_dir:
     try:
         os.makedirs(_cache_dir, exist_ok=True)

@@ -170,7 +170,8 @@ class StatsEffect(Effect):
         out = []
         for i0 in range(0, n, cols):
             for label, vals in rows:
-                out.append(f"{label:<18s}" + " ".join(vals[i0 : i0 + cols]))
+                # C layout: "%-18s" then " %12..." per column (stats.c:170-249)
+                out.append(f"{label:<18s}" + "".join(" " + v for v in vals[i0 : i0 + cols]))
             out.append("")
         log.info("\n" + "\n".join(out))
 
