@@ -546,6 +546,68 @@ class CompiledChain:
             y = y[self.chain.output_discard :]
         return y
 
+    def process_batch(self, xs, mesh=None, axis="dp", drain=True, discard=True):
+        """Process S independent streams at once: xs [S, frames, in_ch] ->
+        [S, out_frames, out_ch] numpy.
+
+        The per-stream chain step is vmapped over the stream axis; with a
+        `jax.sharding.Mesh`, streams shard over `axis` so N chips process
+        N x the streams with zero cross-chip communication — the multi-chip
+        scaling model for this embarrassingly parallel workload (the
+        reference has no distribution; SURVEY §2.6). Each stream gets its
+        own state, identical to running process_array per stream.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        xs = np.asarray(xs, dtype=np.float64)
+        S, n_in, c_in = xs.shape
+        pad = self.chain.drain_frames if drain else 0
+        total = n_in + pad
+        B = self.block_frames
+        n_blocks = max(1, -(-total // B))
+        flat = np.zeros((S, n_blocks * B, c_in), dtype=np.float64)
+        flat[:, :n_in] = xs
+        xp = flat.reshape(S, n_blocks, B, c_in)
+
+        def tile(leaf):
+            a = jnp.asarray(leaf)
+            return jnp.broadcast_to(a[None], (S,) + a.shape)
+
+        states = jax.tree_util.tree_map(tile, self.states)
+
+        def one(states, xblocks):
+            return jax.lax.scan(self._step_fn_raw, states, xblocks)
+
+        vrun = jax.vmap(one)
+        xj = jnp.asarray(xp, dtype=self.dtype)  # [S, n_blocks, B, C]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def shard(leaf):
+                spec = P(axis, *([None] * (np.ndim(leaf) - 1)))
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+            states = jax.tree_util.tree_map(shard, states)
+            xj = shard(xj)
+            vrun = jax.jit(
+                vrun,
+                in_shardings=(
+                    jax.tree_util.tree_map(
+                        lambda leaf: NamedSharding(mesh, P(axis, *([None] * (np.ndim(leaf) - 1)))),
+                        states,
+                    ),
+                    NamedSharding(mesh, P(axis, None, None, None)),
+                ),
+            )
+        _, ys = vrun(states, xj)
+        y = fetch_np(ys, dtype=np.float64).reshape(S, -1, ys.shape[-1])
+        out_valid = int(np.floor(total * self.chain.ratio)) if drain else int(n_in * self.chain.ratio)
+        y = y[:, :out_valid]
+        if discard and self.chain.output_discard:
+            y = y[:, self.chain.output_discard :]
+        return y
+
 
 def chain_needs_dither(chain):
     """True if any effect modifies the signal such that dither is useful

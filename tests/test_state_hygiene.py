@@ -42,3 +42,32 @@ def test_no_complex_state_and_f32_stable(args):
     assert y.dtype == jnp.float32
     for a, b in zip(jax.tree_util.tree_leaves(cc.states), jax.tree_util.tree_leaves(st)):
         assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_process_batch_matches_per_stream_and_shards():
+    """process_batch == per-stream process_array, and shards over a Mesh."""
+    from jax.sharding import Mesh
+
+    from dsp_tpu.chain.chain import CompiledChain, build_chain_from_args
+
+    chain = build_chain_from_args(
+        ["gain", "-3", "eq", "1k", "1.0", "+3", "crossfeed", "700", "4.5"],
+        StreamInfo(44100, 2),
+    )
+    cc = CompiledChain(chain, block_frames=2048, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((4, 5000, 2)) * 0.3
+    batch = cc.process_batch(xs)
+    for s in range(4):
+        cc.reset()
+        ref = cc.process_array(xs[s])
+        assert np.abs(batch[s] - ref).max() < 1e-12, s
+    # sharded over the 8-device CPU mesh
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("dp",))
+    xs8 = rng.standard_normal((8, 5000, 2)) * 0.3
+    cc.reset()
+    sharded = cc.process_batch(xs8, mesh=mesh)
+    cc.reset()
+    ref0 = cc.process_array(xs8[0])
+    assert np.abs(sharded[0] - ref0).max() < 1e-12
