@@ -8,6 +8,7 @@ from dsp_tpu.chain import CompiledChain, build_chain_from_string
 from dsp_tpu.core.types import StreamInfo
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "amp_plugin.c")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -103,3 +104,43 @@ class TestNativeIO:
         r.close()
         assert np.abs(y - x[:6000]).max() < 2**-23
         assert np.abs(y2 - x[2000:3000]).max() < 2**-23
+
+
+class TestLadspaDspBridge:
+    def test_bridge_so_self_hosted(self, tmp_path):
+        """Compile native/ladspa_dsp_bridge.c and load it with our own
+        ladspa_host effect: chain -> .so -> worker subprocess -> pipes."""
+        import shutil
+
+        import sys
+
+        src = os.path.join(REPO, "native", "ladspa_dsp_bridge.c")
+        so = str(tmp_path / "ladspa_dsp.so")
+        r = subprocess.run(["gcc", "-O2", "-fPIC", "-shared", "-o", so, src])
+        if r.returncode != 0:
+            pytest.skip("no C compiler")
+        cfgdir = tmp_path / "cfg"
+        cfgdir.mkdir()
+        (cfgdir / "config").write_text(
+            "input_channels=2\noutput_channels=2\neffects_chain=gain -6\n"
+        )
+        os.environ["LADSPA_DSP_CONFIG_PATH"] = str(cfgdir)
+        os.environ["DSP_TPU_PLUGIN_PYTHON"] = sys.executable
+        try:
+            from dsp_tpu.chain.chain import CompiledChain, build_chain_from_string
+            from dsp_tpu.core.types import StreamInfo
+
+            c = build_chain_from_string(f"ladspa_host {so} ladspa_dsp", StreamInfo(44100, 2))
+            cc = CompiledChain(c, block_frames=512)
+            rng = np.random.default_rng(0)
+            x = rng.standard_normal((4096, 2)) * 0.3
+            y = cc.process_array(x, drain=False, discard=False)
+            # worker applies gain -6 with one 2048-frame block latency
+            g = 10.0 ** (-6.0 / 20.0)
+            lat = 2048
+            err = np.abs(y[lat:4096] - x[: 4096 - lat] * g).max()
+            assert err < 1e-6, err
+            assert np.abs(y[:lat]).max() == 0.0
+        finally:
+            os.environ.pop("LADSPA_DSP_CONFIG_PATH", None)
+            os.environ.pop("DSP_TPU_PLUGIN_PYTHON", None)
