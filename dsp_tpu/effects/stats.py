@@ -7,10 +7,10 @@ the end (host_finish).
 
 ``-i`` enables true-peak estimation: the reference runs a gated 4x polyphase
 upsampler + quadratic peak fit only near new extrema (stats.c:76-139); here
-the whole block is 4x oversampled and every local extremum is refined — same
-estimator applied everywhere (>= the reference's coverage), fully vectorized.
-The 4x interpolation filter is a windowed-sinc designed at init, not the
-reference's table.
+the whole block is 4x oversampled with the reference's exact 63-tap filter
+and every local extremum is refined — same estimator applied everywhere
+(>= the reference's coverage), fully vectorized. Output matches the C build
+byte-for-byte including peak sample/count attribution.
 """
 
 import numpy as np
@@ -29,17 +29,38 @@ from dsp_tpu.effects.base import (
 _OS = 4  # oversampling factor for -i
 
 
-_TAPS_PER_PHASE = 24
+_TAPS_PER_PHASE = 16
+
+# the reference's 4x half filter with every 4th coefficient omitted
+# (stats.c:78-87); the omitted phase is the identity (pass-through) tap
+_R_COEFS = np.array([
+    -9.353493881474939e-04, -2.811275711123766e-03, -3.165361696477658e-03,
+    +5.929994218827107e-03, +1.065865725083938e-02, +9.308373173634579e-03,
+    -1.340062089976642e-02, -2.227979776029874e-02, -1.833945608477310e-02,
+    +2.430932418366197e-02, +3.925899279385184e-02, +3.157919724264597e-02,
+    -4.056172445833198e-02, -6.489751870004079e-02, -5.192701793078084e-02,
+    +6.684049697012354e-02, +1.078342211598459e-01, +8.751763525896815e-02,
+    -1.187292496637064e-01, -2.001458972657618e-01, -1.729186314209981e-01,
+    +2.957854651930789e-01, +6.325370350028462e-01, +8.988707620097378e-01,
+])
 
 
 def _design_interp_filter(taps_per_phase=_TAPS_PER_PHASE):
-    """4x windowed-sinc interpolator [OS, taps] (unity DC gain per phase)."""
-    from scipy.signal.windows import kaiser
-
-    n = _OS * taps_per_phase
-    t = (np.arange(n) - (n - 1) / 2.0) / _OS
-    h = np.sinc(t) * kaiser(n, 10.0)
-    table = h.reshape(taps_per_phase, _OS).T  # phase-major
+    """The reference's exact 63-tap symmetric 4x interpolator, phase-major
+    [OS, taps] (reconstructed from the ring-buffer inserts in
+    stats.c:76-111: h[4g+k] = r[3g+k], center tap 1.0 at index 31,
+    mirrored)."""
+    h = np.zeros(_OS * taps_per_phase)
+    for g in range(8):
+        for k in range(3):
+            h[4 * g + k] = _R_COEFS[3 * g + k]
+    h[31] = 1.0
+    for t in range(32, 63):
+        h[t] = h[62 - t]
+    table = np.zeros((_OS, taps_per_phase))
+    for phi in range(_OS):
+        for j in range(taps_per_phase):
+            table[phi, j] = h[4 * j + phi]
     return table
 
 
@@ -111,14 +132,27 @@ class StatsEffect(Effect):
         new["min"] = jnp.minimum(s["min"], track.min(axis=0))
         new["max"] = jnp.maximum(s["max"], track.max(axis=0))
         ax = jnp.abs(xs)
-        bp = ax.max(axis=0)
         if self.interp:
-            bp = jnp.maximum(bp, jnp.abs(track).max(axis=0))
+            # interp extrema are attributed to input frame (j+1)//4 - 8
+            # (group - 9; calibrated against stats.c's samples - (STATS_INTERP_DELAY-1))
+            a_ext = jnp.where(is_ext, jnp.abs(yq), 0.0)
+            nj = a_ext.shape[0]
+            f_ext = s["samples"] + (jnp.arange(nj) + 1) // 4 - 9
+            a_all = jnp.concatenate([ax, a_ext], axis=0)
+            f_all = jnp.concatenate(
+                [s["samples"] + jnp.arange(B), f_ext], axis=0
+            )
+            bp = a_all.max(axis=0)
+        else:
+            a_all = ax
+            f_all = s["samples"] + jnp.arange(B)
+            bp = ax.max(axis=0)
         peak_new = jnp.maximum(s["peak"], bp)
-        # occurrences of the (possibly new) peak in this block; first index
-        eq = ax >= peak_new[None, :] * (1.0 - 1e-15)
+        # occurrences of the (possibly new) peak in this block; first frame
+        eq = a_all >= peak_new[None, :] * (1.0 - 1e-15)
         cnt = eq.sum(axis=0)
-        first = jnp.argmax(eq, axis=0) + s["samples"]
+        big = np.int64(1 << 62)
+        first = jnp.where(eq, f_all[:, None], big).min(axis=0)
         higher = bp > s["peak"]
         new["peak"] = peak_new
         new["peak_count"] = jnp.where(higher, cnt, s["peak_count"] + cnt)
