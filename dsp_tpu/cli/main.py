@@ -53,22 +53,22 @@ Global options:
   -D         disable dithering
   -E         don't drain effects chain before rebuilding
   -p         plot effects chain magnitude response instead of processing audio
-  -P         same as -p, but also plot phase response
+  -P         same as '-p', but also plot phase response
   -V         verbose progress display
   -S         use "sequence" input combining mode
   -X[n]      run in ABX comparator mode
 
 Input/output options:
-  -o                output
-  -t type           type
-  -e encoding       encoding
-  -B/L/N            big/little/native endian
-  -r frequency[k]   sample rate
-  -c channels       number of channels
-  -R ratio          buffer ratio
-  -T time_range     set start and end positions (input only)
-  -l[n]             repeat n times or indefinitely (input only)
-  -n                equivalent to '-t null null'
+  -o               output
+  -t type          type
+  -e encoding      encoding
+  -B/L/N           big/little/native endian
+  -r frequency[k]  sample rate
+  -c channels      number of channels
+  -R ratio         buffer ratio
+  -T time_range    set start and end positions (input only)
+  -l[n]            repeat n times or indefinitely (input only)
+  -n               equivalent to '-t null null'
 """
 
 ABX_TRIALS_DEFAULT = 10
@@ -149,7 +149,7 @@ def _parse_codec_params(state, argv, ind):
 
             if c == "h":
                 sys.stdout.write(HELP_TEXT)
-                sys.stdout.write("\nSupported input/output types:\n")
+                sys.stdout.write("\n")
                 from dsp_tpu.codecs import print_all_codecs
 
                 print_all_codecs(sys.stdout)

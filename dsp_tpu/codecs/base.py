@@ -153,26 +153,30 @@ def print_all_codecs(file=None):
     import sys
 
     f = file or sys.stdout
+    f.write("Types:\n  Type:    Modes: Encodings:\n")
     for ci in _REGISTRY:
         modes = ("r" if ci.modes & CODEC_MODE_READ else "") + (
             "w" if ci.modes & CODEC_MODE_WRITE else ""
         )
-        encs = " ".join(ci.encodings) if ci.encodings else "autodetected"
-        f.write(f"{ci.name:8s} {modes:3s} {encs}\n")
+        encs = " ".join(ci.encodings) if ci.encodings else "<autodetected>"
+        r = "r" if ci.modes & CODEC_MODE_READ else " "
+        w = "w" if ci.modes & CODEC_MODE_WRITE else " "
+        f.write(f"  {ci.name:<8s} {r}{w}     {encs}\n")
 
 
 def _register_builtins():
-    # imports at call time to avoid cycles
+    # imports at call time to avoid cycles; order = codec.c's table order
+    # (null, sgen, ffmpeg, pcm, wavpipe) with our additions after
     from dsp_tpu.codecs import null as _null  # noqa: F401
-    from dsp_tpu.codecs import pcm as _pcm  # noqa: F401
     from dsp_tpu.codecs import sgen as _sgen  # noqa: F401
-    from dsp_tpu.codecs import wav as _wav  # noqa: F401
 
     try:
         from dsp_tpu.codecs import sndfile as _sndfile  # noqa: F401
     except ImportError:
         log.verbose("codecs: libsndfile support unavailable")
     from dsp_tpu.codecs import ffmpeg as _ffmpeg  # noqa: F401 (self-gating)
+    from dsp_tpu.codecs import pcm as _pcm  # noqa: F401
+    from dsp_tpu.codecs import wav as _wav  # noqa: F401
     # device codecs gate on their system libraries (configure:128-151 analog)
     for _dev in ("alsa", "pulse", "ao"):
         try:

@@ -56,12 +56,32 @@ def get_effect_info(name):
     return _REGISTRY.get(name)
 
 
+_CANONICAL_ORDER = [
+    "lowpass_1", "highpass_1", "allpass_1", "lowshelf_1", "highshelf_1",
+    "lowpass_1p", "lowpass", "highpass", "bandpass_skirt", "bandpass_peak",
+    "notch", "allpass", "eq", "lowshelf", "highshelf", "lowpass_transform",
+    "highpass_transform", "linkwitz_transform", "deemph", "biquad",
+    "gain", "mult", "add", "crossfeed", "matrix4", "matrix4_mb", "remix",
+    "st2ms", "ms2st", "delay", "resample", "fir", "fir_p", "zita_convolver",
+    "hilbert", "decorrelate", "noise", "dither", "ladspa_host", "stats",
+    "watch", "levels",
+]
+
+
+def reorder_registry():
+    """Listing order = the reference's effect table (effect.c:46-67),
+    independent of module import order (cross-imports register early)."""
+    known = [n for n in _CANONICAL_ORDER if n in _REGISTRY]
+    extra = [n for n in _REGISTRY_ORDER if n not in _CANONICAL_ORDER]
+    _REGISTRY_ORDER[:] = known + extra
+
+
 def print_all_effects(file=None):
     import sys
 
     f = file or sys.stdout
     for name in _REGISTRY_ORDER:
-        f.write(f"{_REGISTRY[name].usage}\n")
+        f.write(f"  {_REGISTRY[name].usage}\n")
 
 
 class Effect:

@@ -220,7 +220,6 @@ def decorrelate_effect_init(ei, istream, selector, dir_, argv):
 
 register_effect(
     "decorrelate",
-    "decorrelate [-m] [-s seed] [-d delay_min[s|m|S]] [-D delay_max[s|m|S]] "
-    "[-f fc[k]] [-l rt60_lf[s|m|S]] [-h rt60_hf[s|m|S]] [stages]",
+    "decorrelate [options] [stages]",
     decorrelate_effect_init,
 )

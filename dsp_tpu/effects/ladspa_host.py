@@ -298,6 +298,6 @@ def ladspa_host_effect_init(ei, istream, selector, dir_, argv):
 
 register_effect(
     "ladspa_host",
-    "ladspa_host [~/]module_path plugin_label [control ...]",
+    "ladspa_host module_path plugin_label [control ...]",
     ladspa_host_effect_init,
 )

@@ -92,4 +92,4 @@ def remix_effect_init(ei, istream, selector, dir_, argv):
     return RemixEffect(name, istream, matrix)
 
 
-register_effect("remix", "remix selector|. ...", remix_effect_init)
+register_effect("remix", "remix channel_selector|. ...", remix_effect_init)

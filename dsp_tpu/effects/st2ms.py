@@ -64,5 +64,5 @@ def _st2ms_init(ei, istream, selector, dir_, argv):
     return St2MsEffect(argv[0], istream, selector, scale)
 
 
-register_effect("st2ms", "st2ms", _st2ms_init, 1)
-register_effect("ms2st", "ms2st", _st2ms_init, 2)
+register_effect("st2ms", "st2ms ", _st2ms_init, 1)
+register_effect("ms2st", "ms2st ", _st2ms_init, 2)
