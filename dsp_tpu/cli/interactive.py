@@ -487,6 +487,7 @@ def run_abx(state, chain_args, stream, writer, out_codec, n_trials):
                             switch_pos = fade_frames
                             cur = nxt
                     elif val in ("\n", "\r") and sel is not None:
+                        log.info("info: ABX trial %d: choice: X is %s", trial + 1, sel)
                         if (sel == "B") == bool(x_is_b[trial]):
                             correct += 1
                         trial += 1
@@ -524,7 +525,7 @@ def run_abx(state, chain_args, stream, writer, out_codec, n_trials):
             writer.write(y)
         if trial > 0:
             p = _binomial_p(trial, correct)
-            log.info("\nABX result: %d/%d correct (p = %.3f)", correct, trial, p)
+            log.info("info: ABX result: %d correct out of %d (p=%g)", correct, trial, p)
     finally:
         terminal.disable()
         if started:
