@@ -184,3 +184,56 @@ class TestCliSeek:
         y = np.fromfile(out, "<f8").reshape(-1, 1)
         assert len(y) > 0
         assert np.isfinite(y).all()
+
+
+class TestCliAbx:
+    def test_abx_two_trials(self, tmp_path):
+        import pty
+        import re
+        import select
+        import time
+
+        a = tmp_path / "a.raw"
+        b = tmp_path / "b.raw"
+        t = np.arange(44100) / 44100.0
+        xa = 0.3 * np.sin(2 * np.pi * 440 * t)
+        np.stack([xa, xa], 1).astype("<f8").tofile(a)
+        np.stack([0.25 * xa / 0.3] * 2, 1).astype("<f8").tofile(b)
+        cmd = [sys.executable, "-m", "dsp_tpu.cli.main", "-q", "-X2",
+               "-t", "pcm", "-e", "double", "-r", "44100", "-c", "2", str(a),
+               "-t", "pcm", "-e", "double", "-r", "44100", "-c", "2", str(b),
+               "-o", "-t", "null", "null", "gain", "0"]
+        pid, fd = pty.fork()
+        if pid == 0:
+            os.environ.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu", PYTHONPATH=REPO)
+            os.execvp(cmd[0], cmd)
+        buf = b""
+        answered = 0
+        t0 = time.time()
+        exited = False
+        while time.time() - t0 < 120:
+            r, _, _ = select.select([fd], [], [], 0.2)
+            if r:
+                try:
+                    buf += os.read(fd, 65536)
+                except OSError:
+                    pass
+            trials = len(set(re.findall(rb"ABX trial (\d+)", buf)))
+            if trials > answered:
+                time.sleep(0.5)
+                os.write(fd, b"A")
+                time.sleep(0.2)
+                os.write(fd, b"\n")
+                answered += 1
+            done, _ = os.waitpid(pid, os.WNOHANG)
+            if done:
+                exited = True
+                break
+        if not exited:
+            import signal
+
+            os.kill(pid, signal.SIGKILL)
+            os.waitpid(pid, 0)
+        assert exited, buf[-400:]
+        m = re.search(rb"ABX result: (\d+) correct out of 2 \(p=", buf)
+        assert m, buf[-400:]
