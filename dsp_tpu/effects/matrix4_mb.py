@@ -145,6 +145,13 @@ class Matrix4MbEffect(Effect):
 
     # --- state ---
 
+    def state_for_block(self, block):
+        st = self.state0()
+        if block % 128 == 0 and block >= 256:
+            plan = self._bank_plan()
+            st["bank"] = {"fused": np.zeros((2, plan.C, plan.n))}
+        return st
+
     def state0(self):
         init_interp = np.zeros((N_BANDS, N_SIG))
         init_interp[:, 0] = init_interp[:, 3] = 1.0
@@ -183,6 +190,47 @@ class Matrix4MbEffect(Effect):
             "a2o": np.zeros((n_caps, 2, 2)),
             "comp": np.zeros((n_comp, 2, 2)),
         }
+
+    def _band_systems(self):
+        """Per-band LTI systems: each band's full CAP5-tree path composed
+        host-side into one state space (iir.ss_* algebra), stacked as
+        13 bands x 2 stereo lanes. The bank then runs as ONE blocked kernel
+        instead of ~60 sequential associative scans per block."""
+        def bq(row):
+            return iir.ss_from_biquad(np.stack([row, row], axis=1))
+
+        sig = {"in": iir.ss_identity(2)}
+        for op in c5.FB_PROGRAM_13:
+            if op[0] == "cap5":
+                _, fi, i_n, lp_n, hp_n = op
+                cc = self.caps[fi]
+                a1s = bq(c5.ap2_biquad(*cc["a1"]))
+                a2s = iir.ss_series(bq(c5.ap2_biquad(*cc["a2_ap2"])), bq(c5.ap1_biquad(cc["a2_ap1"])))
+                base = sig[i_n]
+                sig[lp_n] = iir.ss_series(base, iir.ss_scale(iir.ss_add(a1s, a2s, 1.0, 1.0), 0.5))
+                sig[hp_n] = iir.ss_series(base, iir.ss_scale(iir.ss_add(a1s, a2s, 1.0, -1.0), 0.5))
+            else:
+                _, ai, s_n = op
+                sig[s_n] = iir.ss_series(sig[s_n], bq(c5.ap2_biquad(*self.comp[ai])))
+        return [sig[f"s{k}"] for k in range(N_BANDS)]
+
+    def _bank_plan(self):
+        plan = getattr(self, "_bank_plan_cache", None)
+        if plan is None:
+            stacked = iir.ss_stack(self._band_systems())
+            plan = iir.CascadeBlockedPlan.from_ss(stacked)
+            self._bank_plan_cache = plan
+        return plan
+
+    def _run_bank_fused(self, st, x2):
+        """x2: [B, 2] -> ([2, 26, n] state, bands [B, NB, 2])."""
+        import jax.numpy as jnp
+
+        plan = self._bank_plan()
+        B = x2.shape[0]
+        xt = jnp.tile(x2, (1, N_BANDS))  # cols: [b0L, b0R, b1L, b1R, ...]
+        st2, y = iir.lti_blocked(plan, st, xt)
+        return st2, y.reshape(B, N_BANDS, 2)
 
     def signal(self):
         self._signal_flag = True
@@ -276,7 +324,11 @@ class Matrix4MbEffect(Effect):
             self.fshape_c, fsh_st, jnp.stack([x[:, c0], x[:, c1]], axis=1)
         )
         # filter bank
-        bst, bands = self._run_bank(state["bank"], s_pre)  # [B, NB, 2]
+        if "fused" in state["bank"]:
+            fst, bands = self._run_bank_fused(state["bank"]["fused"], s_pre)
+            bst = {"fused": fst}
+        else:
+            bst, bands = self._run_bank(state["bank"], s_pre)  # [B, NB, 2]
 
         # frequency-masked analysis signals (matrix4_mb.c:391-392)
         if cfg.freq_mask != 0.0:

@@ -515,6 +515,93 @@ def _biquad_blocked_impl(plan, state, x):
 # --- fused biquad cascades --------------------------------------------------
 
 
+# --- host-side state-space algebra (numpy float64, per-channel batched) ----
+#
+# Systems are dicts {A: [C,n,n], B: [C,n], C: [C,n], D: [C]} with the
+# observer timing y[n] = D x[n] + C s[n-1], s[n] = A s[n-1] + B x[n].
+# Compositions let whole filter graphs (matrix4_mb's CAP5 tree) collapse
+# into one blocked kernel per output.
+
+
+def ss_identity(channels):
+    return {
+        "A": np.zeros((channels, 0, 0)),
+        "B": np.zeros((channels, 0)),
+        "C": np.zeros((channels, 0)),
+        "D": np.ones(channels),
+    }
+
+
+def ss_from_biquad(c):
+    """[5, C] normalized biquad -> coupled-form state-space dict."""
+    c = np.asarray(c, dtype=np.float64)
+    A, B = _coupled_form_ss(c)
+    C = A.shape[0]
+    Crow = np.zeros((C, 2))
+    Crow[:, 0] = 1.0  # coupled basis keeps the output row at [1, 0]
+    return {"A": A, "B": B, "C": Crow, "D": c[0].copy()}
+
+
+def ss_series(s1, s2):
+    """s2 after s1 (audio flows s1 -> s2)."""
+    A1, B1, C1, D1 = s1["A"], s1["B"], s1["C"], s1["D"]
+    A2, B2, C2, D2 = s2["A"], s2["B"], s2["C"], s2["D"]
+    Cch, n1 = A1.shape[0], A1.shape[1]
+    n2 = A2.shape[1]
+    A = np.zeros((Cch, n1 + n2, n1 + n2))
+    A[:, :n1, :n1] = A1
+    A[:, n1:, :n1] = np.einsum("ci,cj->cij", B2, C1)
+    A[:, n1:, n1:] = A2
+    B = np.concatenate([B1, B2 * D1[:, None]], axis=1)
+    C = np.concatenate([C1 * D2[:, None], C2], axis=1)
+    D = D2 * D1
+    return {"A": A, "B": B, "C": C, "D": D}
+
+
+def ss_add(s1, s2, g1=1.0, g2=1.0):
+    """Parallel sum g1*s1 + g2*s2 (same input feeds both)."""
+    A1, B1, C1, D1 = s1["A"], s1["B"], s1["C"], s1["D"]
+    A2, B2, C2, D2 = s2["A"], s2["B"], s2["C"], s2["D"]
+    Cch, n1 = A1.shape[0], A1.shape[1]
+    n2 = A2.shape[1]
+    A = np.zeros((Cch, n1 + n2, n1 + n2))
+    A[:, :n1, :n1] = A1
+    A[:, n1:, n1:] = A2
+    B = np.concatenate([B1, B2], axis=1)
+    C = np.concatenate([C1 * g1, C2 * g2], axis=1)
+    D = g1 * D1 + g2 * D2
+    return {"A": A, "B": B, "C": C, "D": D}
+
+
+def ss_scale(s, g):
+    """Output gain g applied to a system."""
+    return {"A": s["A"], "B": s["B"], "C": s["C"] * g, "D": s["D"] * g}
+
+
+def ss_stack(systems):
+    """Stack systems along the channel axis (pad state dims to the max)."""
+    nmax = max(s["A"].shape[1] for s in systems)
+    As, Bs, Cs, Ds = [], [], [], []
+    for s in systems:
+        Cch, n = s["A"].shape[0], s["A"].shape[1]
+        A = np.zeros((Cch, nmax, nmax))
+        A[:, :n, :n] = s["A"]
+        B = np.zeros((Cch, nmax))
+        B[:, :n] = s["B"]
+        C = np.zeros((Cch, nmax))
+        C[:, :n] = s["C"]
+        As.append(A)
+        Bs.append(B)
+        Cs.append(C)
+        Ds.append(s["D"])
+    return {
+        "A": np.concatenate(As, axis=0),
+        "B": np.concatenate(Bs, axis=0),
+        "C": np.concatenate(Cs, axis=0),
+        "D": np.concatenate(Ds, axis=0),
+    }
+
+
 class CascadeBlockedPlan:
     """Blocked-kernel plan for a SERIES of biquads fused into one LTI system.
 
@@ -536,28 +623,24 @@ class CascadeBlockedPlan:
     def __init__(self, cs, L=128):
         """cs: list of [5, C] normalized coefficient arrays, stage order."""
         cs = [np.asarray(c, dtype=np.float64) for c in cs]
-        C = cs[0].shape[1]
+        sys = ss_from_biquad(cs[0])
+        for c in cs[1:]:
+            sys = ss_series(sys, ss_from_biquad(c))
+        self._init_from_ss(sys, L)
+
+    @classmethod
+    def from_ss(cls, sys, L=128):
+        """Build a plan from a host state-space dict (see ss_from_biquad)."""
+        self = cls.__new__(cls)
+        self._init_from_ss(sys, L)
+        return self
+
+    def _init_from_ss(self, sys, L):
+        A, B, Crow, D = sys["A"], sys["B"], sys["C"], sys["D"]
+        C = A.shape[0]
+        n = A.shape[1]
         self.L = L
         self.C = C
-        self.K = len(cs)
-        n = 0
-        A = np.zeros((C, 0, 0))
-        B = np.zeros((C, 0))
-        Crow = np.zeros((C, 0))
-        D = np.ones(C)
-        for c in cs:
-            A2, B2 = _coupled_form_ss(c)  # [C, 2, 2], [C, 2]
-            D2 = c[0]  # [C]
-            C2 = np.zeros((C, 2))
-            C2[:, 0] = 1.0  # coupled basis keeps the output row at [1, 0]
-            An = np.zeros((C, n + 2, n + 2))
-            An[:, :n, :n] = A
-            An[:, n:, :n] = np.einsum("ci,cj->cij", B2, Crow)
-            An[:, n:, n:] = A2
-            Bn = np.concatenate([B, B2 * D[:, None]], axis=1)
-            Cn = np.concatenate([Crow * D2[:, None], C2], axis=1)
-            A, B, Crow, D = An, Bn, Cn, D2 * D
-            n += 2
         self.n = n
         pows = np.zeros((L + 1, C, n, n))
         pows[0] = np.eye(n)[None]

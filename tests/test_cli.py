@@ -118,8 +118,15 @@ class TestCliInteractive:
                 except OSError:
                     pass
             if not quit_sent and time.time() - t0 > 6:
-                os.write(fd, b"q")
-                quit_sent = True
+                # wait until at least one block reached the file, so 'q'
+                # can't win the race against a cold-cache first compile
+                try:
+                    produced = os.path.getsize(out) > 0
+                except OSError:
+                    produced = False
+                if produced:
+                    os.write(fd, b"q")
+                    quit_sent = True
             done, _ = os.waitpid(pid, os.WNOHANG)
             if done:
                 exited = True
