@@ -1,22 +1,30 @@
 #!/usr/bin/env python
-"""Benchmark: realtime multiple on the BASELINE north-star chain.
+"""Benchmark suite: realtime multiples for every major effect family.
 
-Runs a 10-effect stereo 44.1 kHz chain (biquad EQ family + crossfeed +
-mid/side + fractional delay) through the jitted pipeline on the default JAX
-device and prints ONE JSON line:
+Prints ONE JSON line:
 
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "x realtime", "vs_baseline": N,
+   "suite": {"northstar": N, "matrix4": N, "matrix4_mb": N, "fir_64k": N,
+             "fir_1M": N, "resample_192k": N, "mixed": N}}
 
-vs_baseline is the realtime multiple divided by the BASELINE.json north-star
-target (1000x realtime per chip).
+The headline value is the BASELINE north-star chain (10 effects, stereo,
+44.1 kHz); vs_baseline divides by the 1000x-realtime target. The suite covers
+VERDICT r1 item 3: matrix4, matrix4_mb, 64k-tap and 1M-tap convolution
+(fir_p's non-uniform-partition regime, reverse_iir's MAX_N neighborhood),
+resample 44.1->192k, and a realistic mixed chain.
+
+Inputs are device-resident f32 blocks (per-chip compute throughput — host
+decode/upload overlaps compute in the real pipeline; on this dev box it would
+only measure the tunnel). 64k-frame blocks amortize dispatch (~25 ms/call
+through the tunnel).
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
-# ten effects: mixed IIR scans, channel mixing, fractional delay
 CHAIN = (
     "gain -3 "
     "eq 1k 1.0 +3 "
@@ -32,60 +40,100 @@ CHAIN = (
 
 FS = 44100
 CHANNELS = 2
-BLOCK = 65536  # large blocks amortize scan-step overhead (16k blocks: ~250x;
-N_BLOCKS = 16  # 64k blocks: ~6000x on v5e)
+BLOCK = 65536
+N_BLOCKS = 16
 REPS = 5
 NORTH_STAR = 1000.0
 
 
-def main():
+def write_filter_wav(path, taps, channels=1, seed=0xBE):
     import numpy as np
 
-    import jax
+    from dsp_tpu.codecs import CodecParams, init_codec
+    from dsp_tpu.codecs.base import CODEC_MODE_WRITE
+
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((taps, channels))
+    h *= 0.5 / np.abs(h).sum(axis=0).max()
+    w = init_codec(
+        CodecParams(path, type="wav", enc="double", fs=FS, channels=channels,
+                    mode=CODEC_MODE_WRITE)
+    )
+    w.write(h)
+    w.close()
+    return path
+
+
+def bench_chain(chain_str, n_blocks=N_BLOCKS, reps=REPS, block=BLOCK):
+    import numpy as np
+
+    import jax.numpy as jnp
 
     from dsp_tpu.chain import CompiledChain, build_chain_from_string
     from dsp_tpu.core.types import StreamInfo
 
-    import jax.numpy as jnp
-
-    backend = jax.default_backend()
-    chain = build_chain_from_string(CHAIN, StreamInfo(FS, CHANNELS))
-    cc = CompiledChain(chain, block_frames=BLOCK)
+    chain = build_chain_from_string(chain_str, StreamInfo(FS, CHANNELS))
+    cc = CompiledChain(chain, block_frames=block)
     rng = np.random.default_rng(0)
-    # device-resident f32 input: measures per-chip compute throughput (the
-    # north-star metric); host decode/upload overlaps compute in the real
-    # pipeline and on this tunneled dev box would only measure the tunnel
     xs = jnp.asarray(
-        rng.uniform(-0.5, 0.5, (N_BLOCKS, cc.block_frames, CHANNELS)), dtype=cc.dtype
+        rng.uniform(-0.5, 0.5, (n_blocks, cc.block_frames, CHANNELS)), dtype=cc.dtype
     )
     xs.block_until_ready()
-
-    # warmup/compile
     states0 = cc.states
-    ys = cc.run_blocks(xs)
+    ys = cc.run_blocks(xs)  # warmup/compile
     ys.block_until_ready()
-
-    frames = N_BLOCKS * cc.block_frames
+    frames = n_blocks * cc.block_frames
     best = float("inf")
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        states, ys = cc._multi(states0, xs)
+        _, ys = cc._multi(states0, xs)
         ys.block_until_ready()
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
+        best = min(best, time.perf_counter() - t0)
+    return frames / best / FS
 
-    samples_per_sec = frames / best
-    realtime_multiple = samples_per_sec / FS
+
+def main():
+    import numpy as np  # noqa: F401
+
+    import jax
+
+    backend = jax.default_backend()
+    tmp = tempfile.mkdtemp(prefix="dsp_bench_")
+    f64k = write_filter_wav(os.path.join(tmp, "f64k.wav"), 65536)
+    f1m = write_filter_wav(os.path.join(tmp, "f1m.wav"), 1 << 20)
+    f4k = write_filter_wav(os.path.join(tmp, "f4k.wav"), 4096)
+
+    cases = [
+        ("northstar", CHAIN, {}),
+        ("matrix4", "matrix4 -6", {}),
+        ("matrix4_mb", "matrix4_mb -6", {}),
+        ("fir_64k", f"fir {f64k}", {}),
+        ("fir_1M", f"fir_p {f1m}", {"n_blocks": 8}),
+        ("resample_192k", "resample 192k", {"n_blocks": 8}),
+        ("mixed", f"eq 1k 1.0 +3 delay -f 0.3m fir {f4k} matrix4_mb -6", {}),
+    ]
+    suite = {}
+    for name, chain_str, kw in cases:
+        try:
+            suite[name] = round(bench_chain(chain_str, **kw), 1)
+        except Exception as e:  # pragma: no cover - report, don't die
+            suite[name] = f"error: {type(e).__name__}: {e}"
+        print(f"# {name}: {suite[name]}", file=sys.stderr)
+
+    headline = suite.get("northstar")
+    value = headline if isinstance(headline, float) else 0.0
     print(
         json.dumps(
             {
-                "metric": f"realtime-multiple ({backend}, 10-effect stereo 44.1k chain, dtype={np.dtype(cc.dtype).name})",
-                "value": round(realtime_multiple, 1),
+                "metric": f"realtime-multiple ({backend}, 10-effect stereo 44.1k chain, f32)",
+                "value": value,
                 "unit": "x realtime",
-                "vs_baseline": round(realtime_multiple / NORTH_STAR, 3),
+                "vs_baseline": round(value / NORTH_STAR, 3),
+                "suite": suite,
             }
         )
     )
+    return 0
 
 
 if __name__ == "__main__":

@@ -426,10 +426,14 @@ class CompiledChain:
         self.out_frames = int(self.block_frames * chain.ratio)
         # per-effect input block size (rate changes alter it mid-chain)
         self._block_at = {}
+        self._ratio_at = {}  # cumulative rate ratio BEFORE each effect
         frames = Fraction(self.block_frames)
+        ratio = Fraction(1)
         for e in chain.effects:
             self._block_at[id(e)] = int(frames)
+            self._ratio_at[id(e)] = ratio
             frames *= e.ratio
+            ratio *= e.ratio
         self._runtime_effects = self._fuse(
             [e for e in chain.effects if not getattr(e, "runtime_noop", False)]
         )
@@ -499,6 +503,19 @@ class CompiledChain:
     def reset(self):
         self.states = [self._initial_state(e) for e in self._runtime_effects]
 
+    def set_valid_frames(self, n_in_frames):
+        """Tell measurement effects (stats) the true stream length in chain
+        INPUT frames (absolute since the last reset), so zero padding added
+        for static block shapes never enters their accumulators — the
+        reference processes exact-length short blocks instead
+        (effects_chain.c:1058-1081)."""
+        for i, e in enumerate(self._runtime_effects):
+            if hasattr(e, "set_valid_limit"):
+                r = self._ratio_at.get(id(e), Fraction(1))
+                self.states[i] = self._to_device(
+                    e.set_valid_limit(self.states[i], int(n_in_frames * r))
+                )
+
     def run_block(self, x):
         """x: [block_frames, in_ch] -> [out_frames, out_ch] (device arrays ok)."""
         import jax.numpy as jnp
@@ -534,6 +551,7 @@ class CompiledChain:
         n_in = len(x)
         pad = self.chain.drain_frames if drain else 0
         total = n_in + pad
+        self.set_valid_frames(total)
         B = self.block_frames
         n_blocks = max(1, -(-total // B))
         xp = np.zeros((n_blocks * B, x.shape[1]), dtype=np.float64)

@@ -30,6 +30,10 @@ def plot_chain(chain, plot_phase=False):
     """Return the gnuplot program as a string."""
     fs = chain.istream.fs
     for e in chain.effects:
+        if e.plot(0) is None:  # NULL e->plot (effects_chain.c:1130-1133)
+            raise PlotError(
+                f"plot: error: effect '{e.name}' does not support plotting"
+            )
         if e.istream.channels != e.ostream.channels and not (e.flags & EFFECT_FLAG_PLOT_MIX):
             raise PlotError(
                 f"plot: BUG: effect '{e.name}' changed the number of channels "

@@ -456,21 +456,15 @@ def run_offline(state, chain, out_writer, progress_cb=None):
                         continue
                 break
     # drain (feed chain.drain_frames of silence; effects_chain.c:1186-1218)
+    # the true stream length (input + drain) is known now: stop measurement
+    # effects (stats) there so final-block zero padding never enters them
     pre_pad = total_in + (chain.drain_frames if state.drain_effects else 0)
+    cc.set_valid_frames(pre_pad)
     if state.drain_effects and chain.drain_frames > 0:
         drain_in = np.zeros((chain.drain_frames, chain.istream.channels), dtype=np.float64)
         push(drain_in, final=True)
     else:
         push(None, final=True)
-    # report trailing zero-pad (and drain, which carries no signal) so
-    # counter-based effects (stats) exclude it
-    processed = -(-pre_pad // B) * B if pre_pad % B else pre_pad
-    pad = processed - total_in
-    r = Fraction(1)
-    for e in chain.effects:
-        if hasattr(e, "set_tail_padding"):
-            e.set_tail_padding(int(pad * r))
-        r *= e.ratio
     cc.host_finish()
     return written
 

@@ -125,7 +125,7 @@ class PcmCodec(Codec):
         if self._native is not None:
             self._native.close()
             self._native = None
-        if self._f not in (sys.stdin.buffer, sys.stdout.buffer):
+        if self._f not in (getattr(sys.stdin, "buffer", None), getattr(sys.stdout, "buffer", None)):
             self._f.close()
 
 
@@ -183,7 +183,7 @@ class WavPipeCodec(Codec):
         return len(buf)
 
     def close(self):
-        if self._f is not sys.stdout.buffer:
+        if self._f is not getattr(sys.stdout, "buffer", None):
             self._f.close()
 
 

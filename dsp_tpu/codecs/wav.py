@@ -170,7 +170,7 @@ class WavReader(Codec):
         if self._native is not None:
             self._native.close()
             self._native = None
-        if self._f is not sys.stdin.buffer:
+        if self._f is not getattr(sys.stdin, "buffer", None):
             self._f.close()
 
 
@@ -238,7 +238,7 @@ class WavWriter(Codec):
         if self._f.seekable():
             self._f.seek(0)
             self._write_header(self._data_bytes)
-        if self._f is not sys.stdout.buffer:
+        if self._f is not getattr(sys.stdout, "buffer", None):
             self._f.close()
 
 

@@ -318,14 +318,13 @@ def getopt(argv, optstring):
         if a == "--":
             ind += 1
             break
-        # a[0] == '-' but could be a negative number operand
-        if a[1] not in spec and not a[1].isalpha():
-            break
+        # NOTE: like the reference's IS_OPT (util.c:373), anything starting
+        # with '-' is an option here — "stats -6" is an error, not ref_level
         sp = 1
         while sp < len(a):
             c = a[sp]
             if c not in spec:
-                raise ParseError(f"unknown option: -{c}")
+                raise ParseError(f"unrecognized option '{c}'")
             kind = spec[c]
             if kind == 0:
                 opts.append((c, None))
@@ -337,7 +336,7 @@ def getopt(argv, optstring):
                     ind += 1
                     opts.append((c, argv[ind]))
                 else:
-                    raise ParseError(f"option requires an argument: -{c}")
+                    raise ParseError(f"expected argument to option '{c}'")
                 break
             else:  # optional, attached only
                 opts.append((c, a[sp + 1 :] if sp + 1 < len(a) else None))

@@ -52,4 +52,4 @@ class AlignEffect(Effect):
                 samples[k] += int(self.lens[k])
 
     def plot(self, idx, channel_offset=0):
-        return [f"H{k}_{idx}(w)=1.0" for k in range(self.ostream.channels)]
+        return [f"H{k}_{idx}(f)=1.0" for k in range(self.ostream.channels)]  # effect_plot_noop (align.c:121)

@@ -131,10 +131,10 @@ class Effect:
         """Mutate cumulative per-output-channel tail lengths (may be None entries)."""
 
     def plot(self, idx, channel_offset=0):
-        """Return gnuplot 'H<ch>_<idx>(w)=...' lines for each output channel."""
-        return [
-            f"H{k}_{idx}(w)=1.0" for k in range(self.ostream.channels)
-        ]
+        """Return gnuplot 'H<ch>_<idx>(w)=...' lines for each output channel,
+        or None if the effect does not support plotting (a NULL e->plot in
+        the reference, e.g. matrix4/resample/dither — effects_chain.c:1130)."""
+        return None
 
     def signal(self):
         """Chain signal hook (SIGUSR2 / 's' key). Returns a state-update dict or None."""

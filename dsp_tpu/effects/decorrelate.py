@@ -113,9 +113,10 @@ class DecorrelateEffect(Effect):
         st, ys = eng.step(state, xs)
         return st, x.at[:, jnp.asarray(self.sel_idx)].set(ys)
 
-    def drain_samples(self, samples):
-        for k in self.sel_idx:
-            samples[k] += self.filter_frames - 1
+    # NOTE: no drain_samples — the reference's decorrelate is an IIR allpass
+    # network with no drain hook (decorrelate.c): output frame count equals
+    # input frame count and the decaying tail is cut, even though our FIR
+    # realization could flush it. Parity over completeness.
 
     def plot(self, idx, channel_offset=0):
         lines = []

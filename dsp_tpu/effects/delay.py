@@ -182,17 +182,42 @@ class DelayEffect(Effect):
             samples[k] += int(self.fd_ap_n[k])
 
     def plot(self, idx, channel_offset=0):
+        """Emit the reference's exact expressions (delay.c:84-104): ap1/ap2
+        closed forms for orders 1-2 and the Koshita ladder continued fraction
+        (allpass.c:39-48) for order n — our runtime realizes the same Thiran
+        transfer function as a biquad cascade, but the plot string must match
+        byte-for-byte."""
         lines = []
         for k in range(self.ostream.channels):
             h = f"H{k}_{idx}(w)=exp(-j*w*{int(self.samples_int[k])})"
-            if self._sections is not None:
-                for s in range(self._sections.shape[0]):
-                    c0, c1, c2, c3, c4 = self._sections[s, :, k]
-                    if (c0, c1, c2, c3, c4) != (1.0, 0.0, 0.0, 0.0, 0.0):
+            n = int(self.fd_ap_n[k])
+            if n > 0 and self.samples_frac[k] != 0.0:
+                delta = abs(float(self.samples_frac[k]))
+                if n == 1:
+                    c0 = (1.0 - delta) / (1.0 + delta)
+                    h += (
+                        f"*((abs(w)<=pi)?({c0:.15e}+1.0*exp(-j*w))"
+                        f"/(1.0+{c0:.15e}*exp(-j*w)):0/0)"
+                    )
+                elif n == 2:
+                    c0 = (4.0 - 2.0 * delta) / (1.0 + delta)
+                    c1 = ((delta - 2.0) * (delta - 1.0)) / ((delta + 1.0) * (delta + 2.0))
+                    h += (
+                        f"*((abs(w)<=pi)?({c1:.15e}+{c0:.15e}*exp(-j*w)+exp(-2*j*w))"
+                        f"/(1.0+{c0:.15e}*exp(-j*w)+{c1:.15e}*exp(-2*j*w)):0/0)"
+                    )
+                else:
+                    h += "*((abs(w)<=pi)?(1.0"
+                    for j in range(n):
+                        lc0 = delta - j
+                        inv_c1 = -(delta + (j + 1))
+                        lc2 = 2 * j + 1
                         h += (
-                            f"*((abs(w)<=pi)?({c0:.15e}+{c1:.15e}*exp(-j*w)+{c2:.15e}"
-                            f"*exp(-2*j*w))/(1.0+{c3:.15e}*exp(-j*w)+{c4:.15e}*exp(-2*j*w)):0/0)"
+                            f"+{lc0:.15e}/({-float(lc2):.15e}"
+                            f"*(exp(-j*w)/(1.0-exp(-j*w)))+{inv_c1:.15e}/(2.0"
                         )
+                    h += "))" * n
+                    h += "):0/0)"
             lines.append(h)
         return lines
 
@@ -217,6 +242,10 @@ def _make_polyphase_table(n_phases, taps, fc, stop_db):
 
 class ModDelayEffect(Effect):
     """Randomly modulated delay line (-m/-M options of delay)."""
+
+    def plot(self, idx, channel_offset=0):
+        # the modulator list-member uses effect_plot_noop (delay.c:651)
+        return [f"H{k}_{idx}(f)=1.0" for k in range(self.ostream.channels)]
 
     def __init__(self, name, istream, selector, samples, fc, is_mono, qual, seed=None):
         if qual not in (0, 1, 2):

@@ -49,7 +49,8 @@ class GainEffect(Effect):
 
     def plot(self, idx, channel_offset=0):
         if self.additive:
-            return [f"H{k}_{idx}(w)=1.0" for k in range(self.ostream.channels)]
+            # add uses effect_plot_noop in the reference (gain.c:122)
+            return [f"H{k}_{idx}(f)=1.0" for k in range(self.ostream.channels)]
         return [f"H{k}_{idx}(w)={self.v[k]:.15e}" for k in range(self.ostream.channels)]
 
 

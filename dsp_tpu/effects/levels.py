@@ -84,6 +84,10 @@ class LevelsEffect(Effect):
         block_peak = jnp.maximum(state["block_peak"].astype(x.dtype), peaks.max(axis=0))
         return {"avg": avg_new, "peak": peak_new, "block_peak": block_peak}, x
 
+    def plot(self, idx, channel_offset=0):
+        # effect_plot_noop in the reference (levels.c:146, stats.c:302)
+        return [f"H{k}_{idx}(f)=1.0" for k in range(self.ostream.channels)]
+
     def host_update(self, state):
         from dsp_tpu.cli import terminal
 

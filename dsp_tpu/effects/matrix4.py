@@ -347,6 +347,19 @@ class Matrix4Effect(Effect):
     # --- core block processing ---
 
     def step(self, state, x):
+        ctl, vals, auxs = self._control(state, x)
+        new_state, y = self._audio(state, x, vals, ctl)
+        self._aux = auxs
+        return new_state, y
+
+    def _control(self, state, x):
+        """Control path: band-limit filters, envelope followers, the fs/32
+        event-engine scan and the parabolic interpolator — everything that
+        *decides* the per-sample matrix values `vals [B, N_INTERP]`.
+
+        Split from _audio so tests can isolate precision effects: pin vals
+        from a float64 run and replay the audio path alone in float32
+        (tests/test_f32_accuracy.py::TestMatrix4ControlSplit)."""
         import jax
         import jax.numpy as jnp
 
@@ -465,6 +478,27 @@ class Matrix4Effect(Effect):
         coefs = all_ics[set_idx]  # [B, 3, N_INTERP]
         vals = (coefs[:, 2] * t[:, None] + coefs[:, 1]) * t[:, None] + coefs[:, 0]  # [B, N_INTERP]
 
+        ctl = {
+            "ev": ev_new,
+            "bp_m": bp_m,
+            "env_m": env_m,
+            "bg_cs": jnp.stack([bg_new[0], bg_new[1]]),
+            "interp_y": iy_new,
+            "interp_c": ics[-1],
+        }
+        return ctl, vals, auxs
+
+    def _audio(self, state, x, vals, ctl):
+        """Audio path: lookahead delay, 2->4 matrix, dynamic shelf/lowpass,
+        phase flip — everything downstream of the control values."""
+        import jax.numpy as jnp
+
+        B = x.shape[0]
+        cfg = self.cfg
+        c0, c1 = cfg.c0, cfg.c1
+        s0 = x[:, c0]
+        s1 = x[:, c1]
+
         # lookahead-delayed signal path: out sample i = input delayed by len
         buf = jnp.concatenate([state["buf"].astype(x.dtype), jnp.stack([s0, s1], axis=1)], axis=0)
         delayed = buf[:B]
@@ -519,21 +553,15 @@ class Matrix4Effect(Effect):
         y = jnp.stack(cols, axis=1)
 
         fade_p_new = jnp.maximum(state["fade_p"] - B, 0)
-        new_state = {
-            "ev": ev_new,
-            "bp_m": bp_m,
-            "env_m": env_m,
-            "bg_cs": jnp.stack([bg_new[0], bg_new[1]]),
-            "interp_y": iy_new,
-            "interp_c": ics[-1],
-            "buf": buf[-self.len :] if self.len > 0 else state["buf"],
-            "shelf_m": shelf_m,
-            "lp_m": lp_m,
-            "pf_m": pf_m,
-            "fade_p": fade_p_new,
-            "disable": state["disable"],
-        }
-        self._aux = auxs
+        new_state = dict(
+            ctl,
+            buf=buf[-self.len :] if self.len > 0 else state["buf"],
+            shelf_m=shelf_m,
+            lp_m=lp_m,
+            pf_m=pf_m,
+            fade_p=fade_p_new,
+            disable=state["disable"],
+        )
         return new_state, y
 
     def _dyn_shelf_block(self, pr, m0, sig, g):

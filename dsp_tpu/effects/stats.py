@@ -2,15 +2,30 @@
 
 DC offset, min, max, peak dBFS, RMS dBFS, crest factor, peak count, peak
 sample, samples, length — printed when processing finishes. Accumulators are
-device-side reductions carried in the effect state; the host reads them at
-the end (host_finish).
+device-side and carried in the effect state; the host reads them at the end
+(host_finish).
 
-``-i`` enables true-peak estimation: the reference runs a gated 4x polyphase
-upsampler + quadratic peak fit only near new extrema (stats.c:76-139); here
-the whole block is 4x oversampled with the reference's exact 63-tap filter
-and every local extremum is refined — same estimator applied everywhere
-(>= the reference's coverage), fully vectorized. Output matches the C build
-byte-for-byte including peak sample/count attribution.
+Exactness notes (all verified byte-for-byte against the C build in
+tests/test_ref_diff.py):
+
+* min/max start at 0.0 (the reference's calloc'd state), and a sample only
+  qualifies as a peak event when it is a new min or max (stats.c:57-69);
+  the running min/max prefix is computed with cummin/cummax so the whole
+  block stays vectorized while matching the sequential semantics exactly
+  (peak equality uses exact float comparison, like the C).
+* ``-i`` true-peak runs the reference's *gated* estimator exactly
+  (stats.c:76-164): a 9-sample lookahead delay line feeds a 4x polyphase
+  interpolator + quadratic peak fit, but only for STATS_INTERP_DELAY=18
+  samples after a sample crosses the tmin/tmax thresholds. The filter ring
+  with its moving pointer is re-expressed as a shift buffer: one insert is
+  ``M' = shift4(M) + x*H`` with H derived by transliterating the C insert
+  once on a unit impulse (_derive_insert_layout). The gated recurrence is
+  data-dependent and does not associate, so -i runs as a per-sample
+  lax.scan (channels vectorized) — exact, but sequential; plain stats stays
+  fully vectorized.
+* Static block shapes mean the runner zero-pads the final block; the
+  ``limit`` state (set via CompiledChain.set_valid_frames) stops every
+  accumulator at the true stream end, so padding never enters the results.
 """
 
 import numpy as np
@@ -26,13 +41,11 @@ from dsp_tpu.effects.base import (
     register_effect,
 )
 
-_OS = 4  # oversampling factor for -i
-
-
-_TAPS_PER_PHASE = 16
+STATS_INTERP_DELAY = 18  # stats.c:76
+_NO_LIMIT = np.int64(1) << 62
 
 # the reference's 4x half filter with every 4th coefficient omitted
-# (stats.c:78-87); the omitted phase is the identity (pass-through) tap
+# (stats.c:78-87)
 _R_COEFS = np.array([
     -9.353493881474939e-04, -2.811275711123766e-03, -3.165361696477658e-03,
     +5.929994218827107e-03, +1.065865725083938e-02, +9.308373173634579e-03,
@@ -45,23 +58,50 @@ _R_COEFS = np.array([
 ])
 
 
-def _design_interp_filter(taps_per_phase=_TAPS_PER_PHASE):
-    """The reference's exact 63-tap symmetric 4x interpolator, phase-major
-    [OS, taps] (reconstructed from the ring-buffer inserts in
-    stats.c:76-111: h[4g+k] = r[3g+k], center tap 1.0 at index 31,
-    mirrored)."""
-    h = np.zeros(_OS * taps_per_phase)
-    for g in range(8):
-        for k in range(3):
-            h[4 * g + k] = _R_COEFS[3 * g + k]
-    h[31] = 1.0
-    for t in range(32, 63):
-        h[t] = h[62 - t]
-    table = np.zeros((_OS, taps_per_phase))
-    for phi in range(_OS):
-        for j in range(taps_per_phase):
-            table[phi, j] = h[4 * j + phi]
-    return table
+def _derive_insert_layout():
+    """Transliterate stats_interp_insert (stats.c:76-111) on a unit impulse
+    to derive the shift-buffer contribution template H[64]: after the 4-slot
+    shift, slot j of the new buffer receives x*H[j] per inserted sample x.
+    (The y read taps are M[0..3] + x*(r0, r1, r2, 0).)"""
+    m = np.zeros(64)
+    r = _R_COEFS.copy()  # r[i] for x = 1
+    x = 1.0
+    p0 = 0
+    # y[2..5] read m[p0..p0+3] (+ r0..r2); then the read slots are cleared
+    p = (p0 + 4) & 0x3F
+    m[p0:p0 + 4] = 0.0
+    base = p  # state->p after the insert = new read position
+
+    def grp(*vals):
+        nonlocal p
+        for v in vals:
+            m[p & 0x3F] += v
+            p = (p + 1) & 0x3F
+        p = (p + 1) & 0x3F  # skipped slot (the omitted 4th phase)
+
+    grp(r[3], r[4], r[5])
+    grp(r[6], r[7], r[8])
+    grp(r[9], r[10], r[11])
+    grp(r[12], r[13], r[14])
+    grp(r[15], r[16], r[17])
+    grp(r[18], r[19], r[20])
+    for v in (r[21], r[22], r[23], x):  # x fills the 4th slot (stats.c:104)
+        m[p & 0x3F] += v
+        p = (p + 1) & 0x3F
+    grp(r[23], r[22], r[21])
+    grp(r[20], r[19], r[18])
+    grp(r[17], r[16], r[15])
+    grp(r[14], r[13], r[12])
+    grp(r[11], r[10], r[9])
+    grp(r[8], r[7], r[6])
+    grp(r[5], r[4], r[3])
+    for v in (r[2], r[1], r[0]):  # tail group has no skip (stats.c:111)
+        m[p & 0x3F] += v
+        p = (p + 1) & 0x3F
+    return np.roll(m, -base)
+
+
+_INSERT_H = _derive_insert_layout()
 
 
 class StatsEffect(Effect):
@@ -75,36 +115,151 @@ class StatsEffect(Effect):
         self.ref = ref_level
         self.width = width
         self.interp = interp
-        self._table = _design_interp_filter() if interp else None
         self._final = None
-        self._tail_padding = 0  # zero frames appended by the runner's final block
 
     def state0(self):
         n = len(self.sel_idx)
-        big = 1e30
-        return {
+        st = {
             "sum": np.zeros(n),
             "sum_sq": np.zeros(n),
-            "min": np.full(n, big),
-            "max": np.full(n, -big),
+            # the reference calloc's its state: min/max/peak start at 0.0
+            "min": np.zeros(n),
+            "max": np.zeros(n),
             "peak": np.zeros(n),
             "peak_count": np.zeros(n, dtype=np.int64),
             "peak_frame": np.zeros(n, dtype=np.int64),
             "samples": np.zeros((), dtype=np.int64),
-            "tail": np.zeros((_TAPS_PER_PHASE, n)),  # history for -i filter continuity
+            "limit": _NO_LIMIT,
         }
+        if self.interp:
+            st.update(
+                m=np.zeros((64, n)),
+                y=np.zeros((6, n)),
+                z=np.zeros((9, n)),
+                nctr=np.zeros(n, dtype=np.int32),
+                tmin=np.zeros(n),
+                tmax=np.zeros(n),
+            )
+        return st
 
-    def _oversample(self, xs, tail):
+    def set_valid_limit(self, state, limit):
+        """Host hook: absolute local-frame count of real (non-padding) data."""
+        state = dict(state)
+        state["limit"] = np.int64(limit)
+        return state
+
+    def plot(self, idx, channel_offset=0):
+        # effect_plot_noop in the reference (stats.c:302)
+        return [f"H{k}_{idx}(f)=1.0" for k in range(self.ostream.channels)]
+
+    # --- plain mode: exact sequential semantics, fully vectorized ---
+
+    def _step_plain(self, s, xs, idx, active):
+        import jax
         import jax.numpy as jnp
 
-        table = jnp.asarray(self._table, dtype=xs.dtype)  # [OS, T]
-        T = table.shape[1]
-        buf = jnp.concatenate([tail.astype(xs.dtype), xs], axis=0)  # [T_h + B, n]
-        B = xs.shape[0]
-        idx = np.arange(B)[:, None] + np.arange(T)[None, :]  # [B, T]
-        windows = buf[idx]  # [B, T, n]
-        up = jnp.einsum("pt,btn->bpn", table, windows)  # [B, OS, n]
-        return up.reshape(B * _OS, -1)
+        inf = jnp.asarray(jnp.inf, dtype=xs.dtype)  # neutral for cummin/cummax
+        x_min = jnp.where(active[:, None], xs, inf)
+        x_max = jnp.where(active[:, None], xs, -inf)
+        # exclusive running min/max including the carried state
+        cmin = jax.lax.cummin(x_min, axis=0)
+        cmax = jax.lax.cummax(x_max, axis=0)
+        runmin_x = jnp.concatenate(
+            [s["min"][None], jnp.minimum(s["min"][None], cmin[:-1])], axis=0
+        )
+        runmax_x = jnp.concatenate(
+            [s["max"][None], jnp.maximum(s["max"][None], cmax[:-1])], axis=0
+        )
+        pk_min = active[:, None] & (xs <= runmin_x)
+        pk_max = active[:, None] & ~pk_min & (xs >= runmax_x)
+        pk = pk_min | pk_max
+        new = {}
+        new["min"] = jnp.minimum(s["min"], cmin[-1])
+        new["max"] = jnp.maximum(s["max"], cmax[-1])
+        a = jnp.abs(xs)
+        a_pk = jnp.where(pk, a, 0.0)
+        peak_new = jnp.maximum(s["peak"], a_pk.max(axis=0))
+        # events: peak candidates equal to the final running peak (exact
+        # comparison, like stats.c:61-67); the first is the attainment
+        eq = pk & (a == peak_new[None, :]) & (a > 0)
+        cnt = eq.sum(axis=0)
+        first = jnp.where(eq, idx[:, None], np.int64(1) << 62).min(axis=0)
+        higher = peak_new > s["peak"]
+        new["peak"] = peak_new
+        new["peak_count"] = jnp.where(higher, cnt, s["peak_count"] + cnt)
+        new["peak_frame"] = jnp.where(higher, first, s["peak_frame"])
+        return new
+
+    # --- -i mode: the reference's gated true-peak estimator, exactly ---
+
+    def _step_interp(self, s, xs, idx, active):
+        import jax
+        import jax.numpy as jnp
+
+        H = jnp.asarray(_INSERT_H, dtype=xs.dtype)[:, None]  # [64, 1]
+        c0, c1, c2 = (float(_R_COEFS[0]), float(_R_COEFS[1]), float(_R_COEFS[2]))
+        n4 = jnp.zeros((4, xs.shape[1]), dtype=xs.dtype)
+
+        def body(carry, inp):
+            M, y, z, nc, tmin, tmax, mn, mx, pk, cnt, frm = carry
+            sv, t, act = inp
+            trig = act & ((sv < tmin) | (sv > tmax))
+            nc = jnp.where(trig, STATS_INTERP_DELAY, nc)
+            do = act & (nc > 0)
+            x = z[0]
+            y_ins = jnp.stack(
+                [y[4], y[5], M[0] + c0 * x, M[1] + c1 * x, M[2] + c2 * x, M[3]]
+            )
+            yn = jnp.where(do, y_ins, y)
+            M_ins = jnp.concatenate([M[4:], n4], axis=0) + x[None, :] * H
+            Mn = jnp.where(do, M_ins, M)
+            # stats_interp_peak (stats.c:113-139): i = 1..4, sequential —
+            # min/max update within the loop; r is a plain assignment so the
+            # LAST event's kind wins (faithful to the C)
+            r = jnp.zeros_like(nc)
+            for i in range(1, 5):
+                d0 = yn[i] - yn[i - 1]
+                d1 = yn[i] - yn[i + 1]
+                skip = (
+                    ((d0 > 0) & (d1 < 0))
+                    | ((d0 < 0) & (d1 > 0))
+                    | ((d0 == 0) & (d1 == 0))
+                )
+                use = do & ~skip
+                dy = yn[i - 1] - yn[i + 1]
+                den = yn[i - 1] - 2.0 * yn[i] + yn[i + 1]
+                p4 = dy / (8.0 * jnp.where(den == 0, 1.0, den))
+                yq = yn[i] - dy * p4
+                is_min = use & (yq <= mn)
+                is_max = use & ~is_min & (yq >= mx)
+                mn = jnp.where(is_min, yq, mn)
+                tmin = jnp.where(is_min, 0.5 * yq, tmin)
+                mx = jnp.where(is_max, yq, mx)
+                tmax = jnp.where(is_max, 0.5 * yq, tmax)
+                ev = is_min | is_max
+                ayq = jnp.abs(yq)
+                gt = ev & (ayq > pk)
+                eq = ev & (ayq > 0) & (ayq == pk)
+                pk = jnp.where(gt, ayq, pk)
+                r = jnp.where(gt, 2, jnp.where(eq, 1, r))
+            frm = jnp.where(r == 2, t - (STATS_INTERP_DELAY - 1), frm)
+            cnt = jnp.where(r == 2, 1, jnp.where(r == 1, cnt + 1, cnt))
+            nc = jnp.where(do, nc - 1, nc)
+            zn = jnp.concatenate([z[1:], sv[None, :]], axis=0)
+            zn = jnp.where(act, zn, z)
+            return (Mn, yn, zn, nc, tmin, tmax, mn, mx, pk, cnt, frm), None
+
+        carry0 = (
+            s["m"], s["y"], s["z"], s["nctr"], s["tmin"], s["tmax"],
+            s["min"], s["max"], s["peak"], s["peak_count"], s["peak_frame"],
+        )
+        carry, _ = jax.lax.scan(body, carry0, (xs, idx, active))
+        m, y, z, nc, tmin, tmax, mn, mx, pk, cnt, frm = carry
+        return {
+            "m": m, "y": y, "z": z, "nctr": nc, "tmin": tmin, "tmax": tmax,
+            "min": mn, "max": mx, "peak": pk, "peak_count": cnt,
+            "peak_frame": frm,
+        }
 
     def step(self, state, x):
         import jax.numpy as jnp
@@ -112,64 +267,24 @@ class StatsEffect(Effect):
         xs = x[:, self.sel_idx]
         B = xs.shape[0]
         s = state
+        idx = s["samples"] + jnp.arange(B, dtype=np.int64)
+        active = idx < s["limit"]
         new = dict(s)
-        new["sum"] = s["sum"] + xs.sum(axis=0)
-        new["sum_sq"] = s["sum_sq"] + (xs * xs).sum(axis=0)
+        xz = jnp.where(active[:, None], xs, 0.0)
+        new["sum"] = s["sum"] + xz.sum(axis=0)
+        new["sum_sq"] = s["sum_sq"] + (xz * xz).sum(axis=0)
         if self.interp:
-            up = self._oversample(xs, s["tail"])
-            # quadratic refinement of local extrema of the oversampled signal
-            y0, y1, y2 = up[:-2], up[1:-1], up[2:]
-            denom = y0 - 2.0 * y1 + y2
-            dy = y0 - y2
-            p4 = jnp.where(jnp.abs(denom) > 0, dy / (8.0 * denom), 0.0)
-            yq = y1 - dy * p4
-            is_ext = ((y1 - y0) * (y1 - y2)) > 0
-            cand = jnp.where(is_ext, yq, y1)
-            track = jnp.concatenate([xs, cand], axis=0)
-            new["tail"] = jnp.concatenate([s["tail"], xs], axis=0)[-s["tail"].shape[0] :]
+            new.update(self._step_interp(s, xs, idx, active))
         else:
-            track = xs
-        new["min"] = jnp.minimum(s["min"], track.min(axis=0))
-        new["max"] = jnp.maximum(s["max"], track.max(axis=0))
-        ax = jnp.abs(xs)
-        if self.interp:
-            # interp extrema are attributed to input frame (j+1)//4 - 8
-            # (group - 9; calibrated against stats.c's samples - (STATS_INTERP_DELAY-1))
-            a_ext = jnp.where(is_ext, jnp.abs(yq), 0.0)
-            nj = a_ext.shape[0]
-            f_ext = s["samples"] + (jnp.arange(nj) + 1) // 4 - 9
-            a_all = jnp.concatenate([ax, a_ext], axis=0)
-            f_all = jnp.concatenate(
-                [s["samples"] + jnp.arange(B), f_ext], axis=0
-            )
-            bp = a_all.max(axis=0)
-        else:
-            a_all = ax
-            f_all = s["samples"] + jnp.arange(B)
-            bp = ax.max(axis=0)
-        peak_new = jnp.maximum(s["peak"], bp)
-        # occurrences of the (possibly new) peak in this block; first frame
-        eq = a_all >= peak_new[None, :] * (1.0 - 1e-15)
-        cnt = eq.sum(axis=0)
-        big = np.int64(1 << 62)
-        first = jnp.where(eq, f_all[:, None], big).min(axis=0)
-        higher = bp > s["peak"]
-        new["peak"] = peak_new
-        new["peak_count"] = jnp.where(higher, cnt, s["peak_count"] + cnt)
-        new["peak_frame"] = jnp.where(higher, first, s["peak_frame"])
-        new["samples"] = s["samples"] + B
+            new.update(self._step_plain(s, xs, idx, active))
+        new["samples"] = jnp.minimum(s["samples"] + B, s["limit"])
         return new, x
-
-    def set_tail_padding(self, frames):
-        """Runner reports trailing zero-pad frames so counters exclude them."""
-        self._tail_padding = int(frames)
 
     def host_finish(self, state):
         s = {k: np.asarray(v) for k, v in state.items()}
         self._final = s
         n = len(self.sel_idx)
-        samples = int(s["samples"]) - self._tail_padding
-        s["samples"] = np.int64(samples)
+        samples = int(s["samples"])
         if samples <= 0:
             return
         width = self.width

@@ -108,8 +108,7 @@ class WatchEffect(Effect):
             e.drain_samples(samples)
 
     def plot(self, idx, channel_offset=0):
-        # compose sub-effect responses (simplified: identity for mixers)
-        return [f"H{k}_{idx}(w)=1.0" for k in range(self.ostream.channels)]
+        return None  # watch.c sets no plot hook: plotting is unsupported
 
     def host_update(self, state):
         now = time.monotonic()

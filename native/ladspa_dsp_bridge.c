@@ -26,7 +26,7 @@
 #include <dirent.h>
 #include <sys/types.h>
 #include <sys/wait.h>
-#include <signal.h>
+#include <sys/socket.h>
 #include <errno.h>
 
 /* --- LADSPA ABI (layout-compatible with ladspa.h) --- */
@@ -193,9 +193,13 @@ static int read_full(int fd, void *buf, size_t n)
 
 static int write_full(int fd, const void *buf, size_t n)
 {
+    /* MSG_NOSIGNAL (the fds are an AF_UNIX socketpair) turns a dead worker
+     * into EPIPE instead of SIGPIPE, so the host's signal handlers are never
+     * touched (the previous pipe-based version had to set a process-global
+     * SIG_IGN, silently overriding the host). */
     size_t done = 0;
     while (done < n) {
-        ssize_t r = write(fd, (const char *)buf + done, n - done);
+        ssize_t r = send(fd, (const char *)buf + done, n - done, MSG_NOSIGNAL);
         if (r < 0) {
             if (errno == EINTR) continue;
             return -1;
@@ -208,15 +212,16 @@ static int write_full(int fd, const void *buf, size_t n)
 static LADSPA_Handle bridge_instantiate(const LADSPA_Descriptor *d, unsigned long rate)
 {
     const struct cfg_entry *cfg = (const struct cfg_entry *)d->ImplementationData;
-    int in_pipe[2], out_pipe[2];
-    if (pipe(in_pipe) || pipe(out_pipe)) return NULL;
+    /* one bidirectional AF_UNIX socketpair: lets write_full() use
+     * send(..., MSG_NOSIGNAL) so a dead worker can't SIGPIPE the host */
+    int sv[2];
+    if (socketpair(AF_UNIX, SOCK_STREAM, 0, sv)) return NULL;
     pid_t pid = fork();
-    if (pid < 0) return NULL;
+    if (pid < 0) { close(sv[0]); close(sv[1]); return NULL; }
     if (pid == 0) {
-        dup2(in_pipe[0], 0);
-        dup2(out_pipe[1], 1);
-        close(in_pipe[0]); close(in_pipe[1]);
-        close(out_pipe[0]); close(out_pipe[1]);
+        dup2(sv[1], 0);
+        dup2(sv[1], 1);
+        close(sv[0]); close(sv[1]);
         const char *py = getenv("DSP_TPU_PLUGIN_PYTHON");
         if (!py || !*py) py = "python3";
         char rate_s[32];
@@ -225,16 +230,14 @@ static LADSPA_Handle bridge_instantiate(const LADSPA_Descriptor *d, unsigned lon
                cfg->name ? cfg->name : "", rate_s, (char *)NULL);
         _exit(127);
     }
-    close(in_pipe[0]);
-    close(out_pipe[1]);
+    close(sv[1]);
     struct instance *h = calloc(1, sizeof(*h));
     h->cfg = cfg;
     h->rate = rate;
     h->pid = pid;
-    h->to_child = in_pipe[1];
-    h->from_child = out_pipe[0];
+    h->to_child = sv[0];
+    h->from_child = sv[0];
     h->ports = calloc(cfg->in_ch + cfg->out_ch, sizeof(LADSPA_Data *));
-    signal(SIGPIPE, SIG_IGN);
     /* handshake: worker sends 4-byte magic after the chain compiles */
     uint32_t magic = 0;
     if (read_full(h->from_child, &magic, 4) != 0 || magic != 0x50534444u /* "DDSP" */) {
@@ -254,6 +257,8 @@ static void bridge_run(LADSPA_Handle inst, unsigned long n)
 {
     struct instance *h = (struct instance *)inst;
     const int ic = h->cfg->in_ch, oc = h->cfg->out_ch;
+    if (n == 0) return; /* a 0 header is the worker-shutdown sentinel, and
+                           LADSPA hosts may legally call run(0) */
     if (h->dead) {
         for (int c = 0; c < oc; ++c)
             if (h->ports[ic + c]) memset(h->ports[ic + c], 0, n * sizeof(LADSPA_Data));
@@ -287,8 +292,7 @@ static void bridge_cleanup(LADSPA_Handle inst)
     struct instance *h = (struct instance *)inst;
     uint32_t zero = 0;
     if (!h->dead) write_full(h->to_child, &zero, 4);
-    close(h->to_child);
-    close(h->from_child);
+    close(h->to_child); /* to_child == from_child (one socketpair end) */
     if (h->pid > 0) waitpid(h->pid, NULL, 0);
     free(h->ports);
     free(h->scratch);

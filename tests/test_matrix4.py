@@ -106,3 +106,38 @@ class TestMatrix4Mb:
     def test_filter_type_butterworth(self, steering_input):
         c, y = _run("matrix4_mb filter_type=butterworth -3", steering_input[:8192])
         assert np.isfinite(y).all()
+
+
+class TestMatrix4MbBankPaths:
+    """ADVICE r1: the fused bank kernel (block % 128 == 0 and >= 256) and the
+    legacy per-stage scan are alternative realizations of the same 13-band
+    LTI tree — prove they agree, and that the block size (which selects the
+    path) does not change the effect's output."""
+
+    def test_fused_bank_matches_legacy(self):
+        import jax.numpy as jnp
+
+        c = _chain("matrix4_mb -6")
+        eff = next(e for e in c.effects if type(e).__name__ == "Matrix4MbEffect")
+        rng = np.random.default_rng(7)
+        x2 = jnp.asarray(rng.standard_normal((4096, 2)) * 0.3, jnp.float64)
+
+        import jax
+
+        bst0 = jax.tree_util.tree_map(jnp.asarray, eff._bank_state0())
+        _, bands_legacy = eff._run_bank(bst0, x2)
+
+        plan = eff._bank_plan()
+        fst0 = jnp.zeros((2, plan.C, plan.n), jnp.float64)
+        _, bands_fused = eff._run_bank_fused(fst0, x2)
+
+        err = float(np.abs(np.asarray(bands_legacy) - np.asarray(bands_fused)).max())
+        assert err < 1e-9, f"bank paths disagree: {err:.3e}"
+
+    def test_block_size_independence(self, steering_input):
+        x = steering_input[:8064]  # multiple of both 192 and 2048 after pad
+        c1, y_big = _run("matrix4_mb -6", x, block=2048)   # fused path
+        c2, y_small = _run("matrix4_mb -6", x, block=192)  # legacy path
+        n = min(len(y_big), len(y_small))
+        err = np.abs(y_big[:n] - y_small[:n]).max()
+        assert err < 1e-9, f"block-size dependence: {err:.3e}"

@@ -71,3 +71,35 @@ def test_process_batch_matches_per_stream_and_shards():
     cc.reset()
     ref0 = cc.process_array(xs8[0])
     assert np.abs(sharded[0] - ref0).max() < 1e-12
+
+
+# VERDICT r1 #5: shard the state pytrees most likely to break under
+# NamedSharding — fir (complex FDL stored as (re, im) float pairs), resample
+# (rate change + drain), matrix4 (deep nested control state) — and assert
+# sharded == serial exactly.
+_COMPLEX_STATE_CHAINS = [
+    ("fir_fdl", ["fir", "coefs:" + ",".join(f"{v:.6f}" for v in
+                 np.sin(np.arange(300) * 0.7) * 0.05)]),
+    ("resample_2x", ["resample", "88.2k"]),
+    ("matrix4_deep", ["matrix4", "-6"]),
+]
+
+
+@pytest.mark.parametrize(
+    "name,args", _COMPLEX_STATE_CHAINS, ids=[c[0] for c in _COMPLEX_STATE_CHAINS]
+)
+def test_process_batch_sharded_complex_state(name, args):
+    from jax.sharding import Mesh
+
+    chain = build_chain_from_args(list(args), StreamInfo(44100, 2))
+    cc = CompiledChain(chain, block_frames=2048, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    xs = rng.standard_normal((8, 6000, 2)) * 0.3
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("dp",))
+    sharded = cc.process_batch(xs, mesh=mesh)
+    for s in (0, 3, 7):
+        cc.reset()
+        ref = cc.process_array(xs[s])
+        assert sharded[s].shape == ref.shape, (name, s)
+        assert np.abs(sharded[s] - ref).max() < 1e-12, (name, s)
