@@ -463,10 +463,19 @@ class CompiledChain:
 
         out = []
         run = []
+        if not hasattr(self, "_fuse_cache"):
+            # keyed by member identity so retrace() reuses the same fused
+            # object (and therefore its live state) for unchanged groups
+            self._fuse_cache = {}
 
         def flush():
             if len(run) >= 2:
-                out.append(FusedBiquadCascade(list(run)))
+                key = tuple(id(e) for e in run)
+                fused = self._fuse_cache.get(key)
+                if fused is None:
+                    fused = FusedBiquadCascade(list(run))
+                    self._fuse_cache[key] = fused
+                out.append(fused)
             else:
                 out.extend(run)
             run.clear()
@@ -502,6 +511,66 @@ class CompiledChain:
 
     def reset(self):
         self.states = [self._initial_state(e) for e in self._runtime_effects]
+
+    def retrace(self, state_overrides=None):
+        """Re-jit the step functions after an effect's Python-side structure
+        changed (e.g. a watch sub-chain reload), PRESERVING every other
+        effect's live state — the sub-chain-scoped swap of watch.c:132-155.
+
+        state_overrides: {id(effect): new_state_entry} for effects whose
+        state layout changed with the structure.
+        """
+        import jax
+
+        old = {id(e): st for e, st in zip(self._runtime_effects, self.states)}
+        self._runtime_effects = self._fuse(
+            [e for e in self.chain.effects if not getattr(e, "runtime_noop", False)]
+        )
+        states = []
+        for e in self._runtime_effects:
+            if state_overrides and id(e) in state_overrides:
+                states.append(self._to_device(state_overrides[id(e)]))
+            elif id(e) in old:
+                states.append(old[id(e)])
+            else:
+                states.append(self._initial_state(e))
+        self.states = states
+
+        def step(states, x):
+            new_states = []
+            for e, st in zip(self._runtime_effects, states):
+                st, x = e.step(st, x)
+                new_states.append(st)
+            return new_states, x
+
+        def multi(states, xs):
+            return jax.lax.scan(step, states, xs)
+
+        self._step = jax.jit(step)
+        self._multi = jax.jit(multi)
+        self._step_fn_raw = step
+
+    def watch_swap(self, e):
+        """Sub-chain-scoped hot swap (watch.c:132-155): rebuild ONLY the
+        watch effect's sub-chain and crossfade inside its step. Every other
+        effect keeps its live state across the retrace; the reference swaps
+        the sub-chain under the effect's mutex with the same scope."""
+        try:
+            idx = self._runtime_effects.index(e)
+        except ValueError:
+            return False
+        B = self._block_at[id(e)]
+        if not e.apply_reload(B):
+            return False
+        self.retrace({id(e): e.xfade_state_entry(self.states[idx], B)})
+        return True
+
+    def finish_watch_fades(self):
+        """Drop old sub-chains whose 100 ms crossfade completed (cheap check:
+        only effects currently mid-fade pull their countdown to host)."""
+        for idx, e in enumerate(list(self._runtime_effects)):
+            if getattr(e, "sub_old", None) is not None and e.xfade_done(self.states[idx]):
+                self.retrace({id(e): e.finish_xfade(self.states[idx])})
 
     def set_valid_frames(self, n_in_frames):
         """Tell measurement effects (stats) the true stream length in chain

@@ -142,6 +142,7 @@ class StreamLoop:
         self.verbose_progress = state.verbose_progress
         self._last_progress = 0.0
         self._keys = None
+        self.rb = None  # ReadBuffer (set by run_interactive)
         self._build_chain()
 
     def _build_chain(self):
@@ -198,12 +199,18 @@ class StreamLoop:
         self._apply_dither()
 
     def check_watch_reload(self):
+        """Sub-chain-scoped reload (watch.c:132-155): swap only the watch
+        effect's sub-chain and crossfade inside it, preserving every other
+        effect's live filter state (no chain-level rebuild)."""
+        hit = False
         for e in self.chain.effects:
             if getattr(e, "reload_requested", False):
                 e.reload_requested = False
-                self.rebuild(force_crossfade=True)
-                return True
-        return False
+                if self.cc.watch_swap(e):
+                    log.verbose("%s: info: reloaded %s", e.name, e.path)
+                    hit = True
+        self.cc.finish_watch_fades()
+        return hit
 
     def process_block(self, x):
         if self.xfade is not None and self.xfade.active:
@@ -287,6 +294,8 @@ class StreamLoop:
             self.next_input = True
         elif key == "c":
             self.paused = not self.paused
+            if self.rb is not None:
+                self.rb.pause(self.paused)  # pauses REALTIME capture codecs
         elif key == "e":
             self.rebuild()
         elif key == "v":
@@ -312,7 +321,9 @@ class StreamLoop:
             delay += int(out_delay / r)
             target = pos + offset - delay
         target = max(inp.start_pos, target)
-        got = inp.codec.seek(target)
+        # through the read buffer: drops already-decoded stale blocks under
+        # the reader lock, so no pre-seek audio can reach the chain
+        got = self.rb.seek(target) if self.rb is not None else inp.codec.seek(target)
         if got >= 0:
             self.cc.reset()
             self.discard_left = self.chain.output_discard
@@ -355,13 +366,28 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
     loop._keys = keys if started else None
     terminal.enable()
     B = loop.cc.block_frames
+    from dsp_tpu.cli.readbuf import ReadBuffer
+
+    rb = ReadBuffer(
+        state.inputs,
+        B,
+        n_blocks=min(64, max(2, max((i.codec.buf_ratio for i in state.inputs), default=8))),
+    )
+    loop.rb = rb
     try:
         idx = 0
         while idx < len(state.inputs) and not loop.quit:
             inp = state.inputs[idx]
             loop.next_input = False
             pos = inp.start_pos
-            repeats = inp.repeats
+            # wrapped display span for -l repeats (the read buffer handles
+            # the actual looping, codec_buf.c:308-317)
+            span = 0
+            if inp.repeats != 0:
+                if inp.end_pos >= 0:
+                    span = inp.end_pos - inp.start_pos
+                elif inp.codec.frames and inp.codec.frames > 0:
+                    span = inp.codec.frames - inp.start_pos
             from dsp_tpu.cli.main import _print_io_info
 
             _print_io_info(inp.codec, "input")
@@ -371,19 +397,13 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
                 if loop.quit or loop.next_input:
                     break
                 want = B - len(carry)
-                if inp.end_pos >= 0:
-                    want = min(want, max(inp.end_pos - pos, 0))
-                buf = inp.codec.read(want) if want > 0 else np.zeros((0, stream.channels))
+                buf = rb.read(want)
                 pos += len(buf)
-                at_end = len(buf) < want or (inp.end_pos >= 0 and pos >= inp.end_pos)
+                if span > 0 and pos >= inp.start_pos + span:
+                    pos = inp.start_pos + (pos - inp.start_pos) % span
+                at_end = rb.end_of_input()
                 if len(buf):
                     carry = np.concatenate([carry, buf], axis=0) if len(carry) else buf
-                if at_end and repeats != 0:
-                    if repeats > 0:
-                        repeats -= 1
-                    if inp.codec.seek(inp.start_pos) >= 0:
-                        pos = inp.start_pos
-                        continue
                 if len(carry) >= B or (at_end and len(carry) > 0):
                     block = carry[:B]
                     carry = carry[len(block) :]
@@ -396,7 +416,11 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
                     loop.update_progress(inp, pos)
                 if at_end and len(carry) == 0:
                     break
+            if loop.next_input:
+                rb.skip()  # drop queued blocks of the abandoned input
             idx += 1
+            if idx < len(state.inputs):
+                rb.next_input()
             if idx < len(state.inputs):
                 nxt = state.inputs[idx]
                 if (
@@ -418,6 +442,7 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
                 writer.write(y)
         loop.cc.host_finish()
     finally:
+        rb.close()
         terminal.disable()
         if started:
             keys.stop()

@@ -4,11 +4,13 @@ Loads an effects file into a nested sub-chain and polls its mtime (1 Hz
 thread in the reference; polled from the runner here). Reload constraints
 match watch.c:60-92: the new sub-chain must keep the output fs/channels.
 
-TPU adaptation: the reference swaps the sub-chain under a mutex with a 100 ms
-crossfade inside the effect (watch.c:132-155). Here a reload triggers a
-*chain-level* rebuild + crossfade through the runner's xfade machinery (the
-same path as the interactive 'e' rebuild), because the jitted pipeline is
-recompiled as a whole. Auto-dither is disabled inside (watch.c:84).
+TPU adaptation: like the reference, the crossfade is SCOPED TO THE SUB-CHAIN
+(watch.c:132-155): on reload the effect holds both the old and the new
+sub-chain, runs both inside its step with the reference's linear ramp
+(effects_chain.c:1236-1239, counting down over 100 ms) and then drops the old
+one. The rest of the chain's filter state is untouched — only the outer jit
+is retraced (CompiledChain.retrace), carrying every other effect's state
+across the swap. Auto-dither is disabled inside (watch.c:84).
 """
 
 import os
@@ -52,38 +54,134 @@ class WatchEffect(Effect):
             self._mtime = 0.0
         self._last_poll = time.monotonic()
         self.reload_requested = False
+        self.sub_old = None  # old sub-chain while crossfading
+        # XFADE_TIME = 100 ms (effects_chain.h:61, watch.c crossfade)
+        self.fade_frames = int(round(istream.fs * 0.1))
 
     @property
     def ratio(self):
         return self.sub.ratio
 
-    def state0(self):
-        return [e.state0() for e in self.sub.effects if not getattr(e, "runtime_noop", False)]
-
-    def state_for_block(self, B):
-        states = []
+    @staticmethod
+    def _sub_states(chain, B):
         from fractions import Fraction
 
-        frames = Fraction(B)
-        for e in self.sub.effects:
+        states = []
+        frames = Fraction(B if B is not None else 0)
+        for e in chain.effects:
             if not getattr(e, "runtime_noop", False):
-                if hasattr(e, "state_for_block"):
+                if hasattr(e, "state_for_block") and B is not None:
                     states.append(e.state_for_block(int(frames)))
                 else:
                     states.append(e.state0())
             frames *= e.ratio
         return states
 
-    def step(self, state, x):
+    def state0(self):
+        return self.state_for_block(None)
+
+    def state_for_block(self, B):
+        st = self._sub_states(self.sub, B)
+        if self.sub_old is not None:
+            return {
+                "old": self._sub_states(self.sub_old, B),
+                "new": st,
+                "t": np.int64(self.fade_frames),
+            }
+        return st
+
+    @staticmethod
+    def _run_sub(chain, states, x):
         new_states = []
         i = 0
-        for e in self.sub.effects:
+        for e in chain.effects:
             if getattr(e, "runtime_noop", False):
                 continue
-            st, x = e.step(state[i], x)
+            st, x = e.step(states[i], x)
             new_states.append(st)
             i += 1
         return new_states, x
+
+    def step(self, state, x):
+        if self.sub_old is None:
+            return self._run_sub(self.sub, state, x)
+        # crossfade: run BOTH sub-chains on the same input and mix with the
+        # reference's linear ramp — m = (n - pos)/n with pos counting down
+        # per output sample (effects_chain.c:1236-1274, watch.c:132-155)
+        import jax.numpy as jnp
+
+        old_st, y_old = self._run_sub(self.sub_old, state["old"], x)
+        new_st, y_new = self._run_sub(self.sub, state["new"], x)
+        B = y_old.shape[0]
+        n = self.fade_frames
+        pos = jnp.maximum(state["t"] - jnp.arange(B, dtype=np.int64), 0)
+        m = jnp.where(pos > 0, (n - pos).astype(x.dtype) / n, 1.0)[:, None]
+        y = y_new * m + y_old * (1.0 - m)
+        t_new = jnp.maximum(state["t"] - B, 0)
+        return {"old": old_st, "new": new_st, "t": t_new}, y
+
+    # --- host-side reload protocol (driven by the runner) ---
+
+    def apply_reload(self, B=None):
+        """Swap in the new sub-chain and enter the crossfade. Returns False
+        if the new chain fails to build, changes the output stream, or needs
+        a block size incompatible with the running pipeline — the reference's
+        reload rejections (watch.c:60-92: same fs/channels, no larger
+        buffers). B is the block size at this effect's position."""
+        from fractions import Fraction
+
+        from dsp_tpu.chain.chain import Chain, finish_chain
+        from dsp_tpu.chain.parser import ChainParseError, parse_file_into
+        from dsp_tpu.effects.base import EffectError
+
+        chain = Chain(istream=self.istream, ostream=self.istream)
+        sref = [self.istream]
+        try:
+            parse_file_into(chain, self.path, None, sref, self.channel_selector, self.enforce_eof)
+            finish_chain(chain)
+        except (ChainParseError, EffectError) as e:
+            log.error("%s: error: %s", self.name, e)
+            return False
+        if chain.ostream.fs != self.ostream.fs or chain.ostream.channels != self.ostream.channels:
+            log.error("%s: error: new chain changes output stream", self.name)
+            return False
+        if B is not None:
+            frames = Fraction(B)
+            for e in chain.effects:
+                q = int(getattr(e, "block_quantum", 1))
+                if frames.denominator != 1 or int(frames) % q != 0:
+                    log.error(
+                        "%s: error: new chain needs a block quantum "
+                        "incompatible with the running block size (%d)",
+                        self.name, B,
+                    )
+                    return False
+                frames *= e.ratio
+            if frames.denominator != 1:
+                log.error("%s: error: new chain's rate ratios do not divide "
+                          "the running block size (%d)", self.name, B)
+                return False
+        self.sub_old = self.sub
+        self.sub = chain
+        return True
+
+    def xfade_state_entry(self, current_entry, B):
+        """State override for CompiledChain.retrace when entering the fade:
+        the old sub keeps its live state, the new sub starts fresh."""
+        return {
+            "old": current_entry,
+            "new": self._sub_states(self.sub, B),
+            "t": np.int64(self.fade_frames),
+        }
+
+    @staticmethod
+    def xfade_done(state_entry):
+        return isinstance(state_entry, dict) and int(np.asarray(state_entry["t"])) == 0
+
+    def finish_xfade(self, state_entry):
+        """Drop the old sub-chain; returns the new sub's state entry."""
+        self.sub_old = None
+        return state_entry["new"]
 
     def channel_offsets(self):
         # aggregate the sub-chain's net latency per output channel by

@@ -1,0 +1,161 @@
+"""watch effect: sub-chain-scoped hot reload (watch.c:132-155).
+
+VERDICT r1 #7: the reload must swap and crossfade ONLY the watch effect's
+sub-chain; every other effect in the chain keeps its live filter state.
+The reference does this by swapping the nested chain under the effect's
+mutex with a 100 ms linear crossfade; here WatchEffect runs both sub-chains
+inside its jitted step during the fade and CompiledChain.retrace re-jits the
+pipeline carrying all other state across.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from dsp_tpu.chain import CompiledChain, build_chain_from_string
+from dsp_tpu.core.types import StreamInfo
+
+FS = 44100
+B = 2048
+
+
+def _build_watch_chain(tmp_path, body, chain_prefix="lowpass 500 0.7071 "):
+    f = tmp_path / "sub.txt"
+    f.write_text(body + "\n")
+    stream = StreamInfo(FS, 2)
+    chain = build_chain_from_string(f"{chain_prefix}watch {f}", stream)
+    cc = CompiledChain(chain, block_frames=B)
+    (we,) = [e for e in chain.effects if type(e).__name__ == "WatchEffect"]
+    return f, chain, cc, we
+
+
+def _run_blocks(cc, x, finish_fades=False):
+    out = []
+    for i in range(0, len(x), B):
+        out.append(np.asarray(cc.run_block(x[i : i + B]), dtype=np.float64))
+        if finish_fades:
+            cc.finish_watch_fades()
+    return np.concatenate(out, axis=0)
+
+
+@pytest.fixture(scope="module")
+def noise():
+    rng = np.random.default_rng(1234)
+    return rng.standard_normal((B * 12, 2))
+
+
+def test_subchain_swap_preserves_outer_state(tmp_path, noise):
+    """Reload gain -3 -> gain -6 inside watch, with a lowpass OUTSIDE the
+    watch. After the fade, output must match a straight `lowpass gain -6`
+    chain run from t=0 EXACTLY — possible only if the lowpass's recurrence
+    state survived the swap (a reset would re-transient)."""
+    x = noise
+    f, chain, cc, we = _build_watch_chain(tmp_path, "gain -3")
+
+    n_pre = 4  # blocks before the reload
+    y_pre = _run_blocks(cc, x[: n_pre * B])
+
+    f.write_text("gain -6\n")
+    assert cc.watch_swap(we)
+    assert we.sub_old is not None
+    y_post = _run_blocks(cc, x[n_pre * B :], finish_fades=True)
+    assert we.sub_old is None, "fade never completed"
+
+    # controls: the same outer filter with static gains
+    g1, g2 = 10 ** (-3 / 20), 10 ** (-6 / 20)
+    ctl = build_chain_from_string("lowpass 500 0.7071", StreamInfo(FS, 2))
+    lp = _run_blocks(CompiledChain(ctl, block_frames=B), x)
+
+    np.testing.assert_allclose(y_pre, lp[: n_pre * B] * g1, rtol=0, atol=1e-14)
+
+    # during the 100 ms fade: y = lp(x) * (g2*m + g1*(1-m)), m = (n-pos)/n
+    n = we.fade_frames
+    assert n == 4410
+    pos = np.maximum(n - np.arange(len(y_post)), 0)
+    m = np.where(pos > 0, (n - pos) / n, 1.0)[:, None]
+    expect = lp[n_pre * B :] * (g2 * m + g1 * (1.0 - m))
+    np.testing.assert_allclose(y_post, expect, rtol=0, atol=1e-14)
+
+    # well after the fade: EXACT match with the never-reloaded control —
+    # proves zero outer-state perturbation
+    tail = slice(3 * B, None)
+    np.testing.assert_array_equal(y_post[tail], (lp[n_pre * B :] * g2)[tail])
+
+
+def test_subchain_state_fresh_and_old_kept(tmp_path, noise):
+    """The OLD sub-chain keeps its live state through the fade; the NEW one
+    starts fresh (watch.c builds the new chain from scratch)."""
+    x = noise[: 8 * B]
+    f, chain, cc, we = _build_watch_chain(tmp_path, "lowpass 1k 0.7071", chain_prefix="")
+    y_pre = _run_blocks(cc, x[: 4 * B])
+
+    f.write_text("highpass 1k 0.7071\n")
+    assert cc.watch_swap(we)
+    y_post = _run_blocks(cc, x[4 * B :], finish_fades=True)
+
+    # old path: lowpass with state continuous from block 0
+    ctl_lp = CompiledChain(
+        build_chain_from_string("lowpass 1k 0.7071", StreamInfo(FS, 2)), block_frames=B
+    )
+    lp = _run_blocks(ctl_lp, x)
+    np.testing.assert_allclose(y_pre, lp[: 4 * B], rtol=0, atol=1e-14)
+    # new path: highpass starting FRESH at the swap point
+    ctl_hp = CompiledChain(
+        build_chain_from_string("highpass 1k 0.7071", StreamInfo(FS, 2)), block_frames=B
+    )
+    hp = _run_blocks(ctl_hp, x[4 * B :])
+    n = we.fade_frames
+    pos = np.maximum(n - np.arange(len(y_post)), 0)
+    m = np.where(pos > 0, (n - pos) / n, 1.0)[:, None]
+    expect = hp * m + lp[4 * B :] * (1.0 - m)
+    np.testing.assert_allclose(y_post, expect, rtol=0, atol=1e-14)
+
+
+def test_reload_rejected_on_stream_change(tmp_path, noise):
+    """A sub-chain that changes the output channel count is rejected
+    (watch.c:66-81); the old sub-chain keeps running untouched."""
+    x = noise[: 4 * B]
+    f, chain, cc, we = _build_watch_chain(tmp_path, "gain -3")
+    _run_blocks(cc, x[: 2 * B])
+    old_sub = we.sub
+    f.write_text("remix 0\n")  # 2ch -> 1ch
+    assert not cc.watch_swap(we)
+    assert we.sub is old_sub and we.sub_old is None
+    y = _run_blocks(cc, x[2 * B :])
+    g1 = 10 ** (-3 / 20)
+    lp = _run_blocks(
+        CompiledChain(
+            build_chain_from_string("lowpass 500 0.7071", StreamInfo(FS, 2)), block_frames=B
+        ),
+        x,
+    )
+    np.testing.assert_allclose(y, lp[2 * B :] * g1, rtol=0, atol=1e-14)
+
+
+def test_reload_rejected_on_parse_error(tmp_path, noise):
+    f, chain, cc, we = _build_watch_chain(tmp_path, "gain -3")
+    old_sub = we.sub
+    f.write_text("nosucheffect 42\n")
+    assert not cc.watch_swap(we)
+    assert we.sub is old_sub and we.sub_old is None
+
+
+def test_mtime_poll_requests_reload(tmp_path, noise):
+    """host_update polls mtime at 1 Hz and validates before requesting the
+    reload (watch.c:94-123 worker + 60-92 validation)."""
+    f, chain, cc, we = _build_watch_chain(tmp_path, "gain -3")
+    cc.run_block(noise[:B])
+    # valid change
+    f.write_text("gain -6\n")
+    os.utime(f, (0, we._mtime + 10))
+    we._last_poll = 0.0
+    cc.host_update()
+    assert we.reload_requested
+    we.reload_requested = False
+    # invalid change: validation fails, no request
+    f.write_text("remix 0\n")
+    os.utime(f, (0, we._mtime + 20))
+    we._last_poll = 0.0
+    cc.host_update()
+    assert not we.reload_requested
