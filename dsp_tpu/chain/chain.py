@@ -589,6 +589,8 @@ class CompiledChain:
         """x: [block_frames, in_ch] -> [out_frames, out_ch] (device arrays ok)."""
         import jax.numpy as jnp
 
+        if isinstance(x, np.ndarray):
+            x = np.asarray(x, dtype=self.dtype)  # cast host-side: fewer tunnel bytes
         x = jnp.asarray(x, dtype=self.dtype)
         self.states, y = self._step(self.states, x)
         return y
@@ -597,6 +599,8 @@ class CompiledChain:
         """xs: [n, block_frames, in_ch] -> [n, out_frames, out_ch] in one dispatch."""
         import jax.numpy as jnp
 
+        if isinstance(xs, np.ndarray):
+            xs = np.asarray(xs, dtype=self.dtype)  # cast host-side: fewer tunnel bytes
         xs = jnp.asarray(xs, dtype=self.dtype)
         self.states, ys = self._multi(self.states, xs)
         return ys
@@ -776,6 +780,13 @@ def fetch_np(ys, dtype=None, streams=8):
 
     import jax
 
+    import jax
+
+    if jax.default_backend() == "cpu":
+        # no tunnel: a plain copy is fastest, and the stream-split below
+        # would compile 8 distinct slice programs per process
+        out = np.asarray(ys)
+        return out if dtype is None else out.astype(dtype, copy=False)
     warm_d2h()
     n = ys.shape[0] if ys.ndim else 0
     if n < streams * 2 or ys.size * ys.dtype.itemsize < (8 << 20):

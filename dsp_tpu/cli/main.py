@@ -392,29 +392,23 @@ def run_offline(state, chain, out_writer, progress_cb=None):
     carry = np.zeros((0, chain.istream.channels), dtype=np.float64)
     discard_left = chain.output_discard
     written = 0
+    pending = None  # (device result, trailing pad frames) awaiting fetch
 
-    def push(chunk, final=False):
-        nonlocal carry, discard_left, written
-        if chunk is not None and len(chunk):
-            carry = np.concatenate([carry, chunk], axis=0) if len(carry) else chunk
-        take = (len(carry) // B) * B
-        pad = 0
-        if final and len(carry) % B:
-            pad = B - (len(carry) % B)
-            carry = np.concatenate(
-                [carry, np.zeros((pad, carry.shape[1]), dtype=np.float64)], axis=0
-            )
-            take = len(carry)
-        if take == 0:
-            return 0
-        xs = carry[:take].reshape(-1, B, carry.shape[1])
-        carry = carry[take:]
-        ys = fetch_np(cc.run_blocks(xs), dtype=np.float64)
+    def flush_pending():
+        """Fetch + write the previous chunk's device result. Called AFTER the
+        next chunk is dispatched so the d2h transfer overlaps its compute —
+        the reference hides sink latency the same way with its writer thread
+        (codec_buf.c:542-620)."""
+        nonlocal pending, discard_left, written
+        if pending is None:
+            return
+        ys, trim = pending
+        pending = None
+        ys = fetch_np(ys, dtype=np.float64)
         y = ys.reshape(-1, ys.shape[-1])
-        if pad:
-            # trim output from the zero padding added to complete the last block
-            extra_out = int(pad * chain.ratio)
-            y = y[: len(y) - extra_out] if extra_out <= len(y) else y[:0]
+        if trim:
+            # trim output from the zero padding added to complete the chunk
+            y = y[: len(y) - trim] if trim <= len(y) else y[:0]
         if discard_left:
             d = min(discard_left, len(y))
             y = y[d:]
@@ -422,7 +416,43 @@ def run_offline(state, chain, out_writer, progress_cb=None):
         out_writer.write(y)
         cc.host_update()
         written += len(y)
-        return take
+
+    def push(chunk, final=False):
+        """Dispatch in FIXED [meta_blocks, B, ch] chunks only (one compiled
+        scan shape for the whole run — a second shape would cost another
+        trace+lower+compile per process); the final short chunk is padded
+        with zero blocks whose output is trimmed."""
+        nonlocal carry, pending
+        if chunk is not None and len(chunk):
+            carry = np.concatenate([carry, chunk], axis=0) if len(carry) else chunk
+        CH = meta_blocks * B
+        pushed = 0
+        while len(carry) >= CH:
+            xs = carry[:CH].reshape(meta_blocks, B, carry.shape[1])
+            carry = carry[CH:]
+            ys = cc.run_blocks(xs)  # async dispatch
+            flush_pending()  # fetch the PREVIOUS chunk while this one computes
+            pending = (ys, 0)
+            pushed += CH
+        if final and len(carry):
+            n = len(carry)
+            take = -(-n // B) * B  # round up to whole blocks (as before)
+            pad = take - n
+            xs = np.concatenate(
+                [carry, np.zeros((CH - n, carry.shape[1]), dtype=np.float64)], axis=0
+            ).reshape(meta_blocks, B, carry.shape[1])
+            carry = carry[:0]
+            # output to trim: the all-zero blocks beyond `take` (exact: both
+            # are multiples of B) + the sub-block padding (same floor rule as
+            # the pre-padding path used)
+            trim = int(Fraction(CH - take) * chain.ratio) + int(pad * chain.ratio)
+            ys = cc.run_blocks(xs)
+            flush_pending()
+            pending = (ys, trim)
+            pushed += n
+        if final:
+            flush_pending()
+        return pushed
 
     total_in = 0
     for inp in state.inputs:

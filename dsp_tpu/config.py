@@ -16,6 +16,14 @@ import os
 
 import jax
 
+# DSP_TPU_PLATFORM=cpu|tpu|... pins the JAX backend. Needed because some
+# environments force a platform at interpreter start (sitecustomize
+# registering a PJRT plugin), which silently overrides JAX_PLATFORMS; the
+# config.update below wins over both.
+_platform = os.environ.get("DSP_TPU_PLATFORM")
+if _platform:
+    jax.config.update("jax_platforms", _platform)
+
 # Enable x64 so float64 is representable (reference sample_t is double,
 # /root/reference/dsp.h:42). Compute dtype on TPU remains float32 by default.
 jax.config.update("jax_enable_x64", True)
