@@ -174,6 +174,7 @@ def _register_builtins():
         from dsp_tpu.codecs import sndfile as _sndfile  # noqa: F401
     except ImportError:
         log.verbose("codecs: libsndfile support unavailable")
+    from dsp_tpu.codecs import mp3 as _mp3  # noqa: F401 (self-gating, HAVE_MAD analog)
     from dsp_tpu.codecs import ffmpeg as _ffmpeg  # noqa: F401 (self-gating)
     from dsp_tpu.codecs import pcm as _pcm  # noqa: F401
     from dsp_tpu.codecs import wav as _wav  # noqa: F401
