@@ -309,6 +309,19 @@ class Matrix4MbEffect(Effect):
     # --- block step ---
 
     def step(self, state, x):
+        ctl, vals, _ = self._control(state, x)
+        return self._audio(state, x, vals, ctl)
+
+    def _control(self, state, x):
+        """Front (fshape + filter bank) + envelopes + per-band fs/32 event
+        engine + cross-band threshold modulation + parabolic interpolation
+        -> per-sample matrix values [B, NB, N_SIG].
+
+        Split from _audio so tests can isolate precision effects exactly like
+        matrix4's split (tests/test_f32_accuracy.py): pin (ctl, vals) from a
+        float64 twin and run _audio in f32 to bound the audio path's own
+        error; the remainder in full-f32 runs is control-path event jitter.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -439,6 +452,29 @@ class Matrix4MbEffect(Effect):
         coefs = all_ics[set_idx]  # [B, 3, NB, N_SIG]
         vals = (coefs[:, 2] * t[:, None, None] + coefs[:, 1]) * t[:, None, None] + coefs[:, 0]
 
+        ctl = {
+            "fsh_new": fsh_new,
+            "bst": bst,
+            "bands": bands,
+            "env_m": env_m,
+            "ev_new": ev_new,
+            "evt_new": evt_new,
+            "iy_new": iy_new,
+            "ics_last": ics[-1],
+            "auxs": auxs,
+        }
+        return ctl, vals, auxs
+
+    def _audio(self, state, x, vals, ctl):
+        """Delayed band mixing + dynamic phase flip + direct path + inverse
+        fshape. All control-dependent values arrive via (vals, ctl)."""
+        import jax.numpy as jnp
+
+        B = x.shape[0]
+        cfg = self.cfg
+        c0, c1 = cfg.c0, cfg.c1
+        bands = ctl["bands"]
+
         # delayed band signals
         fb_buf = jnp.concatenate([state["fb_buf"].astype(x.dtype), bands], axis=0)
         delayed = fb_buf[:B]  # [B, NB, 2]
@@ -504,20 +540,20 @@ class Matrix4MbEffect(Effect):
         y = jnp.stack(cols, axis=1)
 
         new_state = {
-            "ev": ev_new,
-            "ev_thresh": evt_new,
-            "fshape_m": fsh_new.reshape(4, 2),
-            "bank": bst,
-            "env_m": env_m,
-            "interp_y": iy_new,
-            "interp_c": ics[-1],
+            "ev": ctl["ev_new"],
+            "ev_thresh": ctl["evt_new"],
+            "fshape_m": ctl["fsh_new"].reshape(4, 2),
+            "bank": ctl["bst"],
+            "env_m": ctl["env_m"],
+            "interp_y": ctl["iy_new"],
+            "interp_c": ctl["ics_last"],
             "fb_buf": fb_buf[-self.fb_buf_len :],
             "pf_m": pf_m,
             "inv_fshape_m": inv_new,
             "fade_p": jnp.maximum(state["fade_p"] - B, 0),
             "disable": state["disable"],
         }
-        self._aux = auxs
+        self._aux = ctl["auxs"]
         return new_state, y
 
     # --- chain hooks (mirror matrix4) ---

