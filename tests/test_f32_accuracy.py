@@ -20,6 +20,12 @@ CASES = [
     ("highpass30", bq.HIGHPASS, 30.0, 0.7071, 0.0),  # pole radius ~0.9973
     ("eq1k+6", bq.PEAK, 1000.0, 1.0, 6.0),
     ("lowshelf90", bq.LOWSHELF, 90.0, 0.9, 3.0),
+    # first-order sections at near-DC poles (VERDICT r1 weak #6: crossfeed's
+    # shelves and smoothers are first-order; same sensitivity wall applies)
+    ("lowpass_1_30", bq.LOWPASS_1, 30.0, 0.0, 0.0),
+    ("highpass_1_20", bq.HIGHPASS_1, 20.0, 0.0, 0.0),
+    ("lowshelf_1_60+6", bq.LOWSHELF_1, 60.0, 0.0, 6.0),
+    ("lowpass_1p_25", bq.LOWPASS_1P, 25.0, 0.0, 0.0),
 ]
 
 
