@@ -111,9 +111,21 @@ def discover_plugins():
 
 
 class Plugin:
-    """An instantiated chain processing fixed-format blocks."""
+    """An instantiated chain processing host-sized blocks.
 
-    def __init__(self, cfg, fs, block_frames=2048):
+    Latency matches the reference's SYMMETRIC_IO build (ladspa_dsp.c
+    run_dsp, align.c:53): frames-in == frames-out with ZERO added latency
+    for hosts that call run() with a constant block size — the compiled
+    block is sized lazily from the first run() call, so every call maps to
+    exactly one jitted step. Hosts that change the block size mid-stream
+    (legal per the LADSPA spec, but no common host does it) fall back to
+    carry buffering: output is padded with silence while the pipeline
+    deficit grows, then the latency stays at its high-water mark (the
+    `latency` property; bounded by one compiled block). Pass an explicit
+    ``block_frames`` to force the compiled block size up front.
+    """
+
+    def __init__(self, cfg, fs, block_frames=None):
         self.cfg = cfg
         self.fs = int(fs)
         stream = StreamInfo(self.fs, cfg.input_channels)
@@ -138,24 +150,33 @@ class Plugin:
         if self.chain.ostream.fs != self.fs:
             raise PluginError(f"{cfg.path}: the resample effect cannot be used here")
         chain_set_dither_params(self.chain, 0, False)  # auto dither off
-        self.cc = CompiledChain(self.chain, block_frames=block_frames)
+        self._block_frames = block_frames
+        self.cc = None
+        if block_frames is not None:
+            self.cc = CompiledChain(self.chain, block_frames=block_frames)
         self._carry_in = np.zeros((0, cfg.input_channels))
-        # one block of zero pre-fill gives a constant latency of block_frames
-        # with frames-in == frames-out (SYMMETRIC_IO behavior)
-        self._carry_out = np.zeros((self.cc.block_frames, cfg.output_channels))
+        self._carry_out = np.zeros((0, cfg.output_channels))
+        self._latency = 0
 
     @property
     def latency(self):
-        """Constant processing latency in frames."""
-        return self.cc.block_frames
+        """Current processing latency in frames (0 until a run() call ever
+        left the pipeline short; then the deficit high-water mark)."""
+        return self._latency
 
     def run(self, x):
-        """Process [frames, in_channels] -> [frames, out_channels] with a
-        constant latency of one block (frames-in == frames-out)."""
+        """Process [frames, in_channels] -> [frames, out_channels]
+        (frames-in == frames-out)."""
         x = np.asarray(x, dtype=np.float64)
         if x.ndim == 1:
             x = x[:, None]
         frames = len(x)
+        if frames == 0:
+            return np.zeros((0, self.cfg.output_channels))
+        if self.cc is None:
+            # size the compiled block from the host's block (rounded up to
+            # the chain's block quantum, e.g. fs/32 for matrix4)
+            self.cc = CompiledChain(self.chain, block_frames=frames)
         B = self.cc.block_frames
         self._carry_in = np.concatenate([self._carry_in, x], axis=0)
         while len(self._carry_in) >= B:
@@ -163,17 +184,27 @@ class Plugin:
             self._carry_in = self._carry_in[B:]
             y = np.asarray(self.cc.run_block(blk), dtype=np.float64)
             self._carry_out = np.concatenate([self._carry_out, y], axis=0)
+        if len(self._carry_out) < frames:
+            # pipeline deficit (host block size changed, or not a quantum
+            # multiple): pad with silence and raise the constant latency
+            deficit = frames - len(self._carry_out)
+            self._carry_out = np.concatenate(
+                [np.zeros((deficit, self._carry_out.shape[1])), self._carry_out]
+            )
+            self._latency += deficit
         out = self._carry_out[:frames]
         self._carry_out = self._carry_out[frames:]
         return out
 
     def reset(self):
-        self.cc.reset()
+        if self.cc is not None:
+            self.cc.reset()
         self._carry_in = np.zeros((0, self.cfg.input_channels))
-        self._carry_out = np.zeros((self.cc.block_frames, self.cfg.output_channels))
+        self._carry_out = np.zeros((0, self.cfg.output_channels))
+        self._latency = 0
 
 
-def load(label=None, fs=44100, block_frames=2048):
+def load(label=None, fs=44100, block_frames=None):
     """Load a plugin by label ('ladspa_dsp' or 'ladspa_dsp:<name>')."""
     for cfg in discover_plugins():
         if label is None or cfg.label == label:

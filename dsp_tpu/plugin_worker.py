@@ -4,7 +4,10 @@ Protocol on stdin/stdout (binary): after the chain compiles, the worker
 writes the 4-byte magic ``DDSP`` (little-endian 0x50534444). Then, per run:
 a uint32 LE frame count n (0 = shutdown), n * input_channels float32 LE
 samples in; n * output_channels float32 LE samples out. Frames-in ==
-frames-out with one block of constant latency (dsp_tpu.plugin.Plugin).
+frames-out with ZERO latency for constant-block-size hosts — the chain is
+compiled for the first call's block size (dsp_tpu.plugin.Plugin); the first
+run() call therefore blocks for the compile (the handshake only covers the
+chain build).
 """
 
 import struct

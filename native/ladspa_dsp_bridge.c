@@ -12,9 +12,12 @@
  * (label "ladspa_dsp:<name>"). Port layout: input_channels audio inputs then
  * output_channels audio outputs, audio-only (like the reference).
  *
- * Latency: the worker keeps frames-in == frames-out with a constant latency
- * of one processing block (dsp_tpu.plugin.Plugin), plus the pipe round trip
- * per run() call; intended for offline/batch LADSPA hosts.
+ * Latency: frames-in == frames-out with ZERO added latency for hosts that
+ * call run() with a constant block size (the worker compiles the chain for
+ * the first call's block, matching the reference's SYMMETRIC_IO build);
+ * hosts that vary the block size fall back to silence-padded carry
+ * buffering in the worker (dsp_tpu.plugin.Plugin). The pipe round trip per
+ * run() call remains.
  */
 
 #define _GNU_SOURCE

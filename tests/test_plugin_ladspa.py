@@ -64,13 +64,34 @@ class TestPluginApi:
 
         labels = [c.label for c in plugin.discover_plugins()]
         assert "ladspa_dsp" in labels and "ladspa_dsp:t" in labels
-        p = plugin.load("ladspa_dsp:t", fs=48000, block_frames=256)
+        # constant host block size: zero latency (SYMMETRIC_IO parity)
+        p = plugin.load("ladspa_dsp:t", fs=48000)
         x = np.ones((1000, 2)) * 0.5
-        y = np.concatenate([p.run(x[:300]), p.run(x[300:])])
+        y = np.concatenate([p.run(x[:250]), p.run(x[250:500]),
+                            p.run(x[500:750]), p.run(x[750:])])
         assert y.shape == (1000, 2)
+        assert p.latency == 0
+        assert np.allclose(y, 0.5 * 10 ** (-6 / 20), atol=1e-9)
+
+    def test_varying_block_size_pads_with_latency(self, tmp_path, monkeypatch):
+        d = tmp_path / "cfg"
+        d.mkdir()
+        (d / "config").write_text("input_channels=1\neffects_chain=gain -6\n")
+        monkeypatch.setenv("LADSPA_DSP_CONFIG_PATH", str(d))
+        from dsp_tpu import plugin
+
+        p = plugin.load("ladspa_dsp", fs=44100, block_frames=256)
+        x = np.arange(1, 1001, dtype=np.float64)[:, None] / 2000.0
+        y = np.concatenate([p.run(x[:300]), p.run(x[300:])])
+        assert y.shape == (1000, 1)
         L = p.latency
-        assert np.allclose(y[L:], 0.5 * 10 ** (-6 / 20), atol=1e-9)
-        assert np.allclose(y[:L], 0.0)
+        assert 0 < L < 512
+        g = 10 ** (-6 / 20)
+        # the non-silent samples are g*x shifted by the accrued deficits;
+        # total sample budget is conserved (frames in == frames out)
+        nz = np.flatnonzero(np.abs(y[:, 0]) > 0)
+        assert len(nz) == 1000 - L
+        assert np.allclose(y[nz, 0], g * x[: 1000 - L, 0], atol=1e-12)
 
     def test_output_channels_validated(self, tmp_path, monkeypatch):
         d = tmp_path / "cfg"
@@ -135,12 +156,12 @@ class TestLadspaDspBridge:
             rng = np.random.default_rng(0)
             x = rng.standard_normal((4096, 2)) * 0.3
             y = cc.process_array(x, drain=False, discard=False)
-            # worker applies gain -6 with one 2048-frame block latency
+            # worker applies gain -6 with ZERO latency: the bridge feeds
+            # constant 512-frame blocks, so the worker compiles for 512 and
+            # every run() call maps to exactly one step (SYMMETRIC_IO parity)
             g = 10.0 ** (-6.0 / 20.0)
-            lat = 2048
-            err = np.abs(y[lat:4096] - x[: 4096 - lat] * g).max()
+            err = np.abs(y - x * g).max()
             assert err < 1e-6, err
-            assert np.abs(y[:lat]).max() == 0.0
         finally:
             os.environ.pop("LADSPA_DSP_CONFIG_PATH", None)
             os.environ.pop("DSP_TPU_PLUGIN_PYTHON", None)
