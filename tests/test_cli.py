@@ -85,6 +85,37 @@ class TestCliBasics:
         y, (fs, ch) = read_wav(out)
         assert ch == 4
 
+    def test_every_example_builds(self):
+        """Every shipped example chain file (incl. the reference's matrix4
+        direct_path variants) parses and compiles for a stereo stream."""
+        import glob
+
+        import numpy as np
+
+        from dsp_tpu.chain import CompiledChain, build_chain_from_file
+        from dsp_tpu.core.types import StreamInfo
+
+        expect_ch = {
+            "crossover_lr4_2kHz": 4,
+            "crossover_lr4_2kHz_riir_linphase": 4,
+            "eq_demo": 2,
+            "matrix4_2_2": 4,
+            "matrix4_2_4": 4,
+            "matrix4_mb_2_2": 4,
+            "matrix4_mb_2_4": 4,
+            "matrix4_mb_direct_path_2_2": 4,
+            "matrix4_mb_direct_path_2_4": 6,
+        }
+        files = sorted(glob.glob(os.path.join(REPO, "examples", "*")))
+        assert len(files) == len(expect_ch)
+        for path in files:
+            name = os.path.basename(path)
+            chain = build_chain_from_file(path, StreamInfo(44100, 2))
+            assert chain.ostream.channels == expect_ch[name], name
+            cc = CompiledChain(chain, block_frames=2048)
+            y = np.asarray(cc.run_block(np.zeros((cc.block_frames, 2))))
+            assert np.isfinite(y).all(), name
+
     def test_stats_output(self, tmp_path):
         r = run_dsp(["-q", "-t", "sgen", "sine:freq=1k+0.2", "-o", "-n", "stats"])
         assert r.returncode == 0, r.stderr
