@@ -18,6 +18,7 @@ Mono filters are shared across all selected channels (fir.c:310-311).
 
 import numpy as np
 
+from dsp_tpu.core import log
 from dsp_tpu.core.parse import ParseError, getopt, num_bits_set, strtol
 from dsp_tpu.effects.base import (
     EFFECT_FLAG_CH_DEPS_IDENTITY,
@@ -121,16 +122,42 @@ def _fir_init_common(ei, istream, selector, dir_, argv, partitioned, extra_len_a
     operands = args[ind:]
     if not operands:
         raise EffectError(f"{name}: usage: {ei.usage}")
-    # optional part-len arguments before the filter path
+    # optional part-len arguments before the filter path; validation matches
+    # the reference exactly (they don't alter the uniform engine's execution)
     part_args = operands[:-1]
     if len(part_args) > extra_len_args:
         raise EffectError(f"{name}: usage: {ei.usage}")
+    vals = []
     for a in part_args:
         v, rest = strtol(a)
         if rest:
             raise EffectError(f"{name}: failed to parse partition length: {a}")
-        if v & (v - 1) or v <= 0:
-            raise EffectError(f"{name}: partition length must be a power of 2")
+        vals.append(v)
+    if extra_len_args == 1 and vals:
+        # fir_p max_part_len (fir_p.c:376-384): 0 = default, power of 2,
+        # >= DIRECT_LEN (32)
+        v = vals[0]
+        if v != 0:
+            if v < 0 or v & (v - 1):
+                raise EffectError(f"{name}: max_part_len must be a power of two")
+            if v < 32:
+                raise EffectError(
+                    f"{name}: max_part_len must be within [32,{2**31 - 1}] or 0 for default"
+                )
+    elif extra_len_args == 2 and vals:
+        # zita min/max_part_len (zita_convolver.cpp:135-143): 0 = default,
+        # both within Convproc [MINPART=64, MAXPART=8192]; max < min is a
+        # warning (clamped), not an error
+        for v in vals:
+            if v != 0 and not (64 <= v <= 8192):
+                raise EffectError(
+                    f"{name}: partition lengths must be within [64,8192] or 0 for default"
+                )
+        if len(vals) == 2:
+            mn = vals[0] or 64
+            mx = vals[1] or 8192
+            if mx < mn:
+                log.warn(f"{name}: warning: max_part_len < min_part_len")
     path = operands[-1]
     data, fch, frames = read_filter(name, istream, selector, dir_, cfg, path)
     ref = filter_offset(cfg, data)

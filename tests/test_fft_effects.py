@@ -82,6 +82,33 @@ class TestFir:
         ref = np.convolve(x[:, 0], h)[:, None]
         assert np.abs(y - ref[: len(y)]).max() < 1e-12
 
+    def test_partition_arg_validation_matches_reference(self):
+        """fir_p/zita partition-length args: same accept/reject semantics as
+        fir_p.c:376-384 and zita_convolver.cpp:135-143 (0 = default; fir_p
+        power-of-2 >= 32; zita within Convproc [64, 8192]; zita max < min is
+        a warning, not an error)."""
+        from dsp_tpu.chain.parser import ChainParseError
+
+        ok = [
+            "fir_p 0 coefs:0.1,0.2",
+            "fir_p 4096 coefs:0.1,0.2",
+            "zita_convolver 64 coefs:0.1,0.2",
+            "zita_convolver 128 8192 coefs:0.1,0.2",
+            "zita_convolver 0 0 coefs:0.1,0.2",
+            "zita_convolver 8192 64 coefs:0.1,0.2",  # warn + clamp
+        ]
+        bad = [
+            "fir_p 100 coefs:0.1,0.2",     # not a power of 2
+            "fir_p 16 coefs:0.1,0.2",      # < DIRECT_LEN
+            "zita_convolver 32 coefs:0.1,0.2",
+            "zita_convolver 16384 coefs:0.1,0.2",
+        ]
+        for s in ok:
+            _chain(s)
+        for s in bad:
+            with pytest.raises(ChainParseError):
+                _chain(s)
+
     def test_zita_alias(self, rng):
         h = rng.uniform(-0.1, 0.1, 300)
         coefs = ",".join(f"{v:.17g}" for v in h)
