@@ -92,6 +92,47 @@ def bench_chain(chain_str, n_blocks=N_BLOCKS, reps=REPS, block=BLOCK):
     return frames / best / FS
 
 
+def bench_batch(chain_str, n_streams=8, n_blocks=4, block=BLOCK, reps=REPS):
+    """Aggregate realtime multiple for n_streams independent streams run as
+    one vmapped dispatch (the dp-over-streams scaling axis, SURVEY.md §2.6:
+    process_batch shards this same computation over a Mesh on multi-chip).
+    Measures how much of the chip a single stream leaves on the table."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsp_tpu.chain import CompiledChain, build_chain_from_string
+    from dsp_tpu.core.types import StreamInfo
+
+    chain = build_chain_from_string(chain_str, StreamInfo(FS, CHANNELS))
+    cc = CompiledChain(chain, block_frames=block)
+
+    def one(states, xs):
+        return jax.lax.scan(cc._step_fn_raw, states, xs)
+
+    vmulti = jax.jit(jax.vmap(one))
+    states = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (n_streams,) + a.shape), cc.states
+    )
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (n_streams, n_blocks, cc.block_frames, CHANNELS)),
+        dtype=cc.dtype,
+    )
+    xs.block_until_ready()
+    _, ys = vmulti(states, xs)  # warmup/compile
+    ys.block_until_ready()
+    frames = n_streams * n_blocks * cc.block_frames
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _, ys = vmulti(states, xs)
+        ys.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return frames / best / FS
+
+
 def bench_cli_latency(tmp):
     """End-to-end CLI wall-clock for a 60 s stereo biquad job (VERDICT r1
     item 8), cold (empty compile cache) and warm, on the CPU backend (the
@@ -154,6 +195,12 @@ def main():
         except Exception as e:  # pragma: no cover - report, don't die
             suite[name] = f"error: {type(e).__name__}: {e}"
         print(f"# {name}: {suite[name]}", file=sys.stderr)
+
+    try:
+        suite["northstar_batch8"] = round(bench_batch(CHAIN), 1)
+    except Exception as e:  # pragma: no cover
+        suite["northstar_batch8"] = f"error: {type(e).__name__}: {e}"
+    print(f"# northstar_batch8: {suite['northstar_batch8']}", file=sys.stderr)
 
     try:
         suite["cli_60s_biquad"] = bench_cli_latency(tmp)

@@ -165,6 +165,16 @@ EFFECT_CASES = [
     # ~1e-7 but the surround channels accumulate ~5e-6 from envelope-follower
     # ordering differences (PARITY.md); budget loosened for this case only
     ("matrix4", 2, STEREO_SPEC, ["matrix4", "-6"], "-10", -100.0),
+    # option-matrix coverage of the adaptive engine (matrix4_common.c:126-260)
+    ("matrix4_v1", 2, STEREO_SPEC, ["matrix4", "matrix=v1", "-6"], "-10", -100.0),
+    ("matrix4_v2", 2, STEREO_SPEC, ["matrix4", "matrix=v2", "-6"], "-10", -100.0),
+    ("matrix4_srd", 2, STEREO_SPEC, ["matrix4", "surround_delay=20m", "-6"], "-10", -100.0),
+    ("matrix4_no_shelf_lp", 2, STEREO_SPEC,
+     ["matrix4", "shelf=none,lowpass=none", "-6"], "-10", -100.0),
+    ("matrix4_no_flip", 2, STEREO_SPEC,
+     ["matrix4", "phase_flip=false", "-6"], "-10", -100.0),
+    ("matrix4_direct_path", 2, STEREO_SPEC,
+     ["matrix4", "direct_path,rear_event_mask=0", "-3/0"], "-10", -100.0),
     ("northstar_mix", 2, STEREO_SPEC,
      ["eq", "1k", "1.0", "+3", "eq", "3.5k", "0.8", "-2",
       "lowshelf", "90", "0.7071s", "+4", "highshelf", "10k", "0.7071s", "-2",
