@@ -56,4 +56,8 @@ CASES = [
     ("matrix4_mb", 2, STEREO_SPEC, ["gain", "-10", "matrix4_mb", "-6"]),
     ("matrix4_mb_cheb", 2, STEREO_SPEC,
      ["gain", "-10", "matrix4_mb", "filter_type=chebyshev1", "-6"]),
+    ("matrix4_mb_cheb2", 2, STEREO_SPEC,
+     ["gain", "-10", "matrix4_mb", "filter_type=chebyshev2:30", "-6"]),
+    ("matrix4_mb_ellip", 2, STEREO_SPEC,
+     ["gain", "-10", "matrix4_mb", "filter_type=elliptic:55:70", "-6"]),
 ]

@@ -87,11 +87,23 @@ class TestMatrix4Mb:
         names = [type(e).__name__ for e in c.effects]
         assert names[0] == "FirEffect"
 
-    def test_filter_bank_complementary(self):
-        # the 13-band bank must sum to (approximately) an allpass
+    @pytest.mark.parametrize(
+        "ftype,stops",
+        [
+            ("elliptic", [35.0, 50.0]),
+            ("elliptic", [55.0, 70.0]),
+            ("butterworth", None),
+            ("chebyshev1", [25.0]),
+            ("chebyshev2", [30.0]),
+        ],
+        ids=["ellip_35_50", "ellip_55_70", "butter", "cheb1_25", "cheb2_30"],
+    )
+    def test_filter_bank_complementary(self, ftype, stops):
+        # the 13-band bank must sum to (approximately) an allpass for every
+        # filter type (matrix4_mb.c:150-171, cap5.c)
         from dsp_tpu.ops import cap5 as c5
 
-        caps, comp = c5.build_filter_bank(44100, "elliptic", [35.0, 50.0])
+        caps, comp = c5.build_filter_bank(44100, ftype, stops)
         bank = c5.NumpyBank(caps, comp)
         n = 4096
         imp = np.zeros(n)
