@@ -512,6 +512,47 @@ class CompiledChain:
     def reset(self):
         self.states = [self._initial_state(e) for e in self._runtime_effects]
 
+    def save_state(self, path):
+        """Checkpoint the live stream state to an .npz file.
+
+        The reference has no checkpoint/resume (SURVEY.md §5); here every
+        effect's state is a pytree of arrays, so a running stream can be
+        frozen and resumed exactly — process(first half), save, load into a
+        fresh process, process(second half) is bit-identical to one pass
+        (tests/test_chain.py). Useful for migrating long-running streams
+        across processes/hosts.
+        """
+        import jax
+
+        leaves, treedef = jax.tree_util.tree_flatten(self.states)
+        arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+        arrays["__treedef__"] = np.asarray(str(treedef))
+        np.savez_compressed(path, **arrays)
+
+    def load_state(self, path):
+        """Restore a state checkpoint written by save_state. The chain
+        structure, block size, and dtype must match; leaf count, shapes,
+        and dtypes are validated."""
+        import jax
+
+        with np.load(path) as z:
+            leaves, treedef = jax.tree_util.tree_flatten(self.states)
+            if str(z["__treedef__"]) != str(treedef):
+                raise ChainError(
+                    "state checkpoint does not match this chain's structure"
+                )
+            new = []
+            for i, cur in enumerate(leaves):
+                a = z[f"leaf_{i}"]
+                cur_np = np.asarray(cur)
+                if a.shape != cur_np.shape or a.dtype != cur_np.dtype:
+                    raise ChainError(
+                        f"state leaf {i} mismatch: checkpoint "
+                        f"{a.shape}/{a.dtype} vs chain {cur_np.shape}/{cur_np.dtype}"
+                    )
+                new.append(jax.numpy.asarray(a))
+            self.states = jax.tree_util.tree_unflatten(treedef, new)
+
     def retrace(self, state_overrides=None):
         """Re-jit the step functions after an effect's Python-side structure
         changed (e.g. a watch sub-chain reload), PRESERVING every other

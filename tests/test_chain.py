@@ -109,6 +109,42 @@ class TestParser:
 
 
 class TestCompiledChain:
+    def test_save_load_state_resumes_exactly(self, rng, tmp_path):
+        """Checkpoint/resume (a capability the reference lacks, SURVEY.md
+        §5): run half, save, restore into a FRESH CompiledChain, run the
+        rest — bit-identical to one uninterrupted pass. Covers stateful
+        effect families: biquad carry, fir FDL, Thiran delay line."""
+        spec = "eq 1k 1.0 +3 fir coefs:0.4,0.3,-0.2,0.1,0.05 delay -f 0.37m highpass 40 0.7071"
+        c = _chain(spec)
+        cc = CompiledChain(c, block_frames=512)
+        x = rng.uniform(-0.5, 0.5, (4096, 2))
+        y_full = np.concatenate(
+            [np.asarray(cc.run_block(x[i : i + 512])) for i in range(0, 4096, 512)]
+        )
+
+        cc.reset()
+        for i in range(0, 2048, 512):
+            cc.run_block(x[i : i + 512])
+        ckpt = str(tmp_path / "state.npz")
+        cc.save_state(ckpt)
+
+        cc2 = CompiledChain(_chain(spec), block_frames=512)
+        cc2.load_state(ckpt)
+        y_resumed = np.concatenate(
+            [np.asarray(cc2.run_block(x[i : i + 512])) for i in range(2048, 4096, 512)]
+        )
+        assert np.array_equal(y_full[2048:], y_resumed)
+
+    def test_load_state_validates_structure(self, rng, tmp_path):
+        from dsp_tpu.chain.chain import ChainError
+
+        cc = CompiledChain(_chain("eq 1k 1.0 +3"), block_frames=512)
+        ckpt = str(tmp_path / "s.npz")
+        cc.save_state(ckpt)
+        other = CompiledChain(_chain("eq 1k 1.0 +3 lowpass 2k 0.7071"), block_frames=512)
+        with pytest.raises(ChainError):
+            other.load_state(ckpt)
+
     def test_gain_math(self, rng):
         c = _chain("gain -6.0206")
         cc = CompiledChain(c, block_frames=256)
