@@ -344,3 +344,56 @@ def test_output_encoding_bit_exact(tmp_path, enc):
     with open(tpu_raw, "rb") as f:
         tb = f.read()
     assert ra == tb, f"{enc}: quantized bytes differ (len {len(ra)} vs {len(tb)})"
+
+
+# ---------------------------------------------------------------------------
+# Battery F: dither noise-shaping spectra (dither.c:67-170)
+# ---------------------------------------------------------------------------
+# Dither realizations are independently seeded, so outputs can't be compared
+# sample-wise; instead the SHAPED RESIDUAL (dithered output minus the
+# unquantized render) must have the same octave-band power spectrum. This
+# enforces the PARITY.md claim (bands within ~1 dB) for every shape.
+
+DITHER_SHAPES = ["flat", "sloped", "sloped2", "lipshitz", "wan3", "wan9"]
+
+
+def _render_residual(tmp_path, tag, runner, shape):
+    """-> residual of a -60 dBFS 997 Hz tone dithered to 16 bits (float64)."""
+    spec = "sine:freq=997+4"
+    dith = str(tmp_path / f"{tag}_d.raw")
+    clean = str(tmp_path / f"{tag}_c.raw")
+    base = ["-q", "-t", "sgen", spec, "-o", "-t", "pcm", "-e", "double"]
+    runner(base + [dith, "gain", "-60", "dither", shape, "16"])
+    runner(base + [clean, "gain", "-60"])
+    return np.fromfile(dith, dtype=np.float64) - np.fromfile(clean, dtype=np.float64)
+
+
+@pytest.mark.parametrize("shape", DITHER_SHAPES)
+def test_dither_shape_spectrum(tmp_path, shape):
+    def run_c(args):
+        r = run_ref(args)
+        assert r.returncode == 0, r.stderr
+
+    def run_t(args):
+        rc, _, err = run_tpu_inproc(args)
+        assert rc == 0, err
+
+    ra = _render_residual(tmp_path, "ref", run_c, shape)
+    rb = _render_residual(tmp_path, "tpu", run_t, shape)
+    assert len(ra) == len(rb)
+    pa = np.abs(np.fft.rfft(ra)) ** 2
+    pb = np.abs(np.fft.rfft(rb)) ** 2
+    fs, n = 44100, len(ra)
+    freqs = np.fft.rfftfreq(n, 1.0 / fs)
+    lo = 125.0
+    while lo * 2 <= 20000.0:
+        m = (freqs >= lo) & (freqs < lo * 2)
+        # skip the tone's band-edge leakage: drop bins within 30 Hz of 997
+        m &= np.abs(freqs - 997.0) > 30.0
+        da = 10 * np.log10(pa[m].mean())
+        db = 10 * np.log10(pb[m].mean())
+        assert abs(da - db) < 1.0, (
+            f"{shape}: octave {lo:.0f}-{lo*2:.0f} Hz differs "
+            f"{da:.2f} vs {db:.2f} dB"
+        )
+        lo *= 2
