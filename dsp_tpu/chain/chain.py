@@ -527,23 +527,43 @@ class CompiledChain:
         leaves, treedef = jax.tree_util.tree_flatten(self.states)
         arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
         arrays["__treedef__"] = np.asarray(str(treedef))
+        arrays["__effects__"] = np.asarray(
+            "|".join(e.name for e in self._runtime_effects)
+        )
         np.savez_compressed(path, **arrays)
 
     def load_state(self, path):
-        """Restore a state checkpoint written by save_state. The chain
-        structure, block size, and dtype must match; leaf count, shapes,
-        and dtypes are validated."""
+        """Restore a state checkpoint written by save_state.
+
+        Validated: the state pytree structure, every leaf's shape and dtype,
+        and the runtime effect-name sequence. NOT validated (state arrays
+        don't encode them): effect parameters — loading a checkpoint into a
+        chain built from different arguments but with the same effect names
+        and state shapes resumes silently with the new coefficients. The
+        caller is responsible for pairing a checkpoint with the chain string
+        that produced it."""
         import jax
 
         with np.load(path) as z:
+            if "__treedef__" not in z or "__effects__" not in z:
+                raise ChainError(f"{path}: not a dsp_tpu state checkpoint")
             leaves, treedef = jax.tree_util.tree_flatten(self.states)
+            names = "|".join(e.name for e in self._runtime_effects)
+            if str(z["__effects__"]) != names:
+                raise ChainError(
+                    f"state checkpoint is for effects [{z['__effects__']}], "
+                    f"this chain runs [{names}]"
+                )
             if str(z["__treedef__"]) != str(treedef):
                 raise ChainError(
                     "state checkpoint does not match this chain's structure"
                 )
             new = []
             for i, cur in enumerate(leaves):
-                a = z[f"leaf_{i}"]
+                key = f"leaf_{i}"
+                if key not in z:
+                    raise ChainError(f"{path}: truncated state checkpoint")
+                a = z[key]
                 cur_np = np.asarray(cur)
                 if a.shape != cur_np.shape or a.dtype != cur_np.dtype:
                     raise ChainError(

@@ -133,21 +133,11 @@ def _fir_init_common(ei, istream, selector, dir_, argv, partitioned, extra_len_a
         if rest:
             raise EffectError(f"{name}: failed to parse partition length: {a}")
         vals.append(v)
-    if extra_len_args == 1 and vals:
-        # fir_p max_part_len (fir_p.c:376-384): 0 = default, power of 2,
-        # >= DIRECT_LEN (32)
-        v = vals[0]
-        if v != 0:
-            if v < 0 or v & (v - 1):
-                raise EffectError(f"{name}: max_part_len must be a power of two")
-            if v < 32:
-                raise EffectError(
-                    f"{name}: max_part_len must be within [32,{2**31 - 1}] or 0 for default"
-                )
-    elif extra_len_args == 2 and vals:
-        # zita min/max_part_len (zita_convolver.cpp:135-143): 0 = default,
+    if extra_len_args == 2 and vals:
+        # zita min/max_part_len (zita_convolver.cpp:135-149): 0 = default,
         # both within Convproc [MINPART=64, MAXPART=8192]; max < min is a
-        # warning (clamped), not an error
+        # warning (clamped); non-power-of-2 values pass the range check but
+        # make Convproc::configure fail, so the reference errors there
         for v in vals:
             if v != 0 and not (64 <= v <= 8192):
                 raise EffectError(
@@ -158,8 +148,24 @@ def _fir_init_common(ei, istream, selector, dir_, argv, partitioned, extra_len_a
             mx = vals[1] or 8192
             if mx < mn:
                 log.warn(f"{name}: warning: max_part_len < min_part_len")
+        for v in vals:
+            if v and v & (v - 1):
+                raise EffectError(f"{name}: failed to configure convolution engine")
     path = operands[-1]
     data, fch, frames = read_filter(name, istream, selector, dir_, cfg, path)
+    if extra_len_args == 1 and vals and frames > 32:
+        # fir_p max_part_len (fir_p.c:376-384): 0 = default, power of 2,
+        # >= DIRECT_LEN (32). Filters of <= DIRECT_LEN taps bypass this
+        # entirely — the reference delegates them to the plain fir engine
+        # BEFORE validating (fir_p.c:364-365)
+        v = vals[0]
+        if v != 0:
+            if v < 0 or v & (v - 1):
+                raise EffectError(f"{name}: max_part_len must be a power of two")
+            if v < 32:
+                raise EffectError(
+                    f"{name}: max_part_len must be within [32,{2**31 - 1}] or 0 for default"
+                )
     ref = filter_offset(cfg, data)
     return FirEffect(name, istream, selector, data, ref, partitioned)
 

@@ -150,7 +150,6 @@ class Plugin:
         if self.chain.ostream.fs != self.fs:
             raise PluginError(f"{cfg.path}: the resample effect cannot be used here")
         chain_set_dither_params(self.chain, 0, False)  # auto dither off
-        self._block_frames = block_frames
         self.cc = None
         if block_frames is not None:
             self.cc = CompiledChain(self.chain, block_frames=block_frames)
@@ -175,8 +174,12 @@ class Plugin:
             return np.zeros((0, self.cfg.output_channels))
         if self.cc is None:
             # size the compiled block from the host's block (rounded up to
-            # the chain's block quantum, e.g. fs/32 for matrix4)
-            self.cc = CompiledChain(self.chain, block_frames=frames)
+            # the chain's block quantum, e.g. fs/32 for matrix4). The
+            # 128-frame floor guards against a tiny priming run() pinning a
+            # pathologically small compiled block for the whole session; a
+            # genuine small-period host pays at most 128 frames (~3 ms) of
+            # deficit latency instead of 0.
+            self.cc = CompiledChain(self.chain, block_frames=max(frames, 128))
         B = self.cc.block_frames
         self._carry_in = np.concatenate([self._carry_in, x], axis=0)
         while len(self._carry_in) >= B:

@@ -1,6 +1,7 @@
 """Subprocess worker behind native/ladspa_dsp_bridge.c.
 
-Protocol on stdin/stdout (binary): after the chain compiles, the worker
+Protocol on stdin/stdout (binary): after the chain BUILDS (parse + effect
+init; compilation happens lazily inside the first run exchange), the worker
 writes the 4-byte magic ``DDSP`` (little-endian 0x50534444). Then, per run:
 a uint32 LE frame count n (0 = shutdown), n * input_channels float32 LE
 samples in; n * output_channels float32 LE samples out. Frames-in ==

@@ -144,6 +144,15 @@ class TestCompiledChain:
         other = CompiledChain(_chain("eq 1k 1.0 +3 lowpass 2k 0.7071"), block_frames=512)
         with pytest.raises(ChainError):
             other.load_state(ckpt)
+        # different effect sequence with coincidentally equal state layout
+        diff_names = CompiledChain(_chain("lowpass 2k 0.7071"), block_frames=512)
+        with pytest.raises(ChainError):
+            diff_names.load_state(ckpt)
+        # arbitrary npz is rejected as not-a-checkpoint, not KeyError
+        bogus = str(tmp_path / "b.npz")
+        np.savez(bogus, a=np.zeros(3))
+        with pytest.raises(ChainError):
+            cc.load_state(bogus)
 
     def test_gain_math(self, rng):
         c = _chain("gain -6.0206")

@@ -84,24 +84,31 @@ class TestFir:
 
     def test_partition_arg_validation_matches_reference(self):
         """fir_p/zita partition-length args: same accept/reject semantics as
-        fir_p.c:376-384 and zita_convolver.cpp:135-143 (0 = default; fir_p
-        power-of-2 >= 32; zita within Convproc [64, 8192]; zita max < min is
-        a warning, not an error)."""
+        the reference. fir_p validates (power-of-2 >= 32, 0 = default) ONLY
+        for filters longer than DIRECT_LEN=32 taps — shorter filters are
+        delegated to the plain fir engine before validation (fir_p.c:364-384).
+        zita validates for any filter length: range [64, 8192] (or 0),
+        max < min is a clamped warning, and non-power-of-2 values fail at
+        Convproc::configure (zita_convolver.cpp:135-149)."""
         from dsp_tpu.chain.parser import ChainParseError
 
+        long_taps = "coefs:" + ",".join(["0.01"] * 40)  # > DIRECT_LEN
         ok = [
-            "fir_p 0 coefs:0.1,0.2",
-            "fir_p 4096 coefs:0.1,0.2",
+            f"fir_p 0 {long_taps}",
+            f"fir_p 4096 {long_taps}",
+            "fir_p 100 coefs:0.1,0.2",   # short filter: validation bypassed
+            "fir_p 16 coefs:0.1,0.2",    # ditto (reference runs these fine)
             "zita_convolver 64 coefs:0.1,0.2",
             "zita_convolver 128 8192 coefs:0.1,0.2",
             "zita_convolver 0 0 coefs:0.1,0.2",
             "zita_convolver 8192 64 coefs:0.1,0.2",  # warn + clamp
         ]
         bad = [
-            "fir_p 100 coefs:0.1,0.2",     # not a power of 2
-            "fir_p 16 coefs:0.1,0.2",      # < DIRECT_LEN
+            f"fir_p 100 {long_taps}",    # not a power of 2
+            f"fir_p 16 {long_taps}",     # < DIRECT_LEN
             "zita_convolver 32 coefs:0.1,0.2",
             "zita_convolver 16384 coefs:0.1,0.2",
+            "zita_convolver 100 coefs:0.1,0.2",  # in range, not a power of 2
         ]
         for s in ok:
             _chain(s)
