@@ -841,8 +841,6 @@ def fetch_np(ys, dtype=None, streams=8):
 
     import jax
 
-    import jax
-
     if jax.default_backend() == "cpu":
         # no tunnel: a plain copy is fastest, and the stream-split below
         # would compile 8 distinct slice programs per process

@@ -139,6 +139,7 @@ class StreamLoop:
         self.quit = False
         self.next_input = False
         self.paused = False
+        self.carry_stale = False  # set by do_seek: caller drops its carry
         self.verbose_progress = state.verbose_progress
         self._last_progress = 0.0
         self._keys = None
@@ -203,13 +204,18 @@ class StreamLoop:
         effect's sub-chain and crossfade inside it, preserving every other
         effect's live filter state (no chain-level rebuild)."""
         hit = False
+        self.cc.finish_watch_fades()
         for e in self.chain.effects:
             if getattr(e, "reload_requested", False):
+                # like the reference (watch.c:135 `update_chain && pos == 0`),
+                # a reload arriving mid-crossfade stays pending until the
+                # active fade completes — swapping now would nest fade states
+                if getattr(e, "sub_old", None) is not None:
+                    continue
                 e.reload_requested = False
                 if self.cc.watch_swap(e):
                     log.verbose("%s: info: reloaded %s", e.name, e.path)
                     hit = True
-        self.cc.finish_watch_fades()
         return hit
 
     def process_block(self, x):
@@ -328,6 +334,7 @@ class StreamLoop:
             self.cc.reset()
             self.discard_left = self.chain.output_discard
             self.xfade = None
+            self.carry_stale = True  # drop the B-alignment carry (pre-seek audio)
             drop = getattr(self.writer, "drop", None)
             if drop:
                 drop()  # discard buffered output (dsp.c:724-727)
@@ -374,8 +381,35 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
         n_blocks=min(64, max(2, max((i.codec.buf_ratio for i in state.inputs), default=8))),
     )
     loop.rb = rb
+
+    def flush_tail(carry, drain_n):
+        """Feed the carried partial block plus drain_n frames of silence,
+        padded to whole blocks, and trim the written output to EXACTLY
+        floor((len(carry)+drain_n)*ratio) post-discard frames — the
+        reference's frame accounting (effects_chain.c:1058-1081 +
+        drain, effects_chain.c:1186-1218). Without the trim, the
+        B-alignment zero padding would append spurious output frames."""
+        Bq = loop.cc.block_frames
+        total = len(carry) + drain_n
+        if total == 0:
+            return
+        padded = np.concatenate(
+            [carry, np.zeros((drain_n + ((-total) % Bq), stream.channels))], axis=0
+        )
+        expect = int(total * loop.chain.ratio)
+        written = 0
+        for i in range(0, len(padded), Bq):
+            y = loop.process_block(padded[i : i + Bq])
+            keep = min(len(y), expect - written)
+            if keep > 0:
+                writer.write(y[:keep])
+                written += keep
+
     try:
         idx = 0
+        # B-alignment carry: persists ACROSS inputs (concatenate mode feeds
+        # the chain one continuous stream — no zero padding between inputs)
+        carry = np.zeros((0, stream.channels))
         while idx < len(state.inputs) and not loop.quit:
             inp = state.inputs[idx]
             loop.next_input = False
@@ -391,9 +425,11 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
             from dsp_tpu.cli.main import _print_io_info
 
             _print_io_info(inp.codec, "input")
-            carry = np.zeros((0, stream.channels))
             while not loop.quit and not loop.next_input:
                 pos = loop.handle_events(inp, pos)
+                if loop.carry_stale:
+                    carry = carry[:0]  # seek: drop pre-seek alignment carry
+                    loop.carry_stale = False
                 if loop.quit or loop.next_input:
                     break
                 want = B - len(carry)
@@ -404,20 +440,17 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
                 at_end = rb.end_of_input()
                 if len(buf):
                     carry = np.concatenate([carry, buf], axis=0) if len(carry) else buf
-                if len(carry) >= B or (at_end and len(carry) > 0):
+                if len(carry) >= B:
                     block = carry[:B]
-                    carry = carry[len(block) :]
-                    if len(block) < B:
-                        block = np.concatenate(
-                            [block, np.zeros((B - len(block), stream.channels))], axis=0
-                        )
+                    carry = carry[B:]
                     y = loop.process_block(block)
                     writer.write(y)
                     loop.update_progress(inp, pos)
-                if at_end and len(carry) == 0:
-                    break
+                if at_end:
+                    break  # partial carry continues into the next input
             if loop.next_input:
                 rb.skip()  # drop queued blocks of the abandoned input
+                carry = carry[:0]  # and the stale alignment carry
             idx += 1
             if idx < len(state.inputs):
                 rb.next_input()
@@ -428,24 +461,34 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
                     or nxt.codec.channels != stream.channels
                 ):
                     log.info("info: input sample rate and/or channels changed; rebuilding effects chain")
+                    # finish the old chain exactly: flush the carried
+                    # partial + drain, with output trimmed (dsp.c:1444-1452)
+                    flush_tail(
+                        carry,
+                        loop.chain.drain_frames if state.drain_effects else 0,
+                    )
+                    carry = np.zeros((0, nxt.codec.channels))
                     stream = StreamInfo(nxt.codec.fs, nxt.codec.channels)
                     loop.stream = stream
                     loop._build_chain()
-        # drain
-        if not loop.quit and state.drain_effects and loop.chain.drain_frames > 0:
-            drain = np.zeros((loop.chain.drain_frames, stream.channels))
-            padded = np.concatenate(
-                [drain, np.zeros(((-len(drain)) % B, stream.channels))], axis=0
-            )
-            for i in range(0, len(padded), B):
-                y = loop.process_block(padded[i : i + B])
-                writer.write(y)
+                    B = loop.cc.block_frames  # quantization may differ
+        # final flush + drain with exact output-length accounting
+        drain_n = (
+            loop.chain.drain_frames
+            if (not loop.quit and state.drain_effects and loop.chain.drain_frames > 0)
+            else 0
+        )
+        if not loop.quit:
+            flush_tail(carry, drain_n)
         loop.cc.host_finish()
     finally:
         rb.close()
         terminal.disable()
         if started:
             keys.stop()
+    if rb.error is not None:
+        log.error("error: input: %s", rb.error)
+        return 1
     return 0
 
 

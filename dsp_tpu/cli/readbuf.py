@@ -31,6 +31,7 @@ from collections import deque
 
 import numpy as np
 
+from dsp_tpu.core import log
 from dsp_tpu.codecs.base import CODEC_HINT_NO_BUF, CODEC_HINT_REALTIME
 
 
@@ -54,6 +55,7 @@ class ReadBuffer:
         self.n_blocks = max(2, int(n_blocks))
         self.cur_idx = 0  # consumer-side input index
         self._consumer_eof = False
+        self.error = None  # first reader-side exception (error latch)
         self.unbuffered = not force_thread and all(
             (inp.codec.hints & CODEC_HINT_NO_BUF) or getattr(inp.codec, "buf_ratio", 0) < 2
             for inp in self.inputs
@@ -78,6 +80,24 @@ class ReadBuffer:
     # --- reader thread ---
 
     def _worker(self):
+        """Wrapper: any escaped exception latches an error and shuts the
+        buffer down instead of silently killing the thread (which would
+        leave read() blocked forever and _command callers hung). Mirrors
+        the reference write-buffer error latch (codec_buf.c:598-607)."""
+        try:
+            self._worker_loop()
+        except Exception as e:  # pragma: no cover - defense in depth
+            log.error("readbuf: error: %s", e)
+            with self._mu:
+                self.error = self.error or e
+                self._stop = True
+                for _, _, done in self._commands:
+                    if done is not None:
+                        done.set()
+                self._commands.clear()
+                self._mu.notify_all()
+
+    def _worker_loop(self):
         while True:
             with self._mu:
                 self._mu.wait_for(
@@ -109,7 +129,16 @@ class ReadBuffer:
             want = self.block_frames
             if inp.end_pos >= 0:
                 want = min(want, max(inp.end_pos - pos, 0))
-            buf = inp.codec.read(want) if want > 0 else np.zeros((0, inp.codec.channels))
+            decode_error = None
+            try:
+                buf = inp.codec.read(want) if want > 0 else np.zeros((0, inp.codec.channels))
+            except Exception as e:
+                # a decode error ends this input (the reference's C codecs
+                # report errors as short/zero reads -> end-of-codec); latch
+                # it so the app can report a nonzero exit
+                log.error("readbuf: %s: read error: %s", getattr(inp, "path", "?"), e)
+                decode_error = e
+                buf = np.zeros((0, inp.codec.channels))
             with self._mu:
                 if self._stop:
                     return
@@ -124,8 +153,12 @@ class ReadBuffer:
                 if len(buf):
                     self._queue.append(np.asarray(buf, dtype=np.float64))
                     self._queued_frames += len(buf)
-                if at_end:
-                    if self._reader_repeats != 0 and inp.codec.seek(inp.start_pos) >= 0:
+                if decode_error is not None:
+                    self.error = self.error or decode_error
+                    self._queue.append(_EndOfInput(idx))
+                    self._advance_reader_locked()
+                elif at_end:
+                    if self._reader_repeats != 0 and self._try_seek(inp, inp.start_pos) >= 0:
                         if self._reader_repeats > 0:
                             self._reader_repeats -= 1
                         self._reader_pos = inp.start_pos
@@ -133,6 +166,13 @@ class ReadBuffer:
                         self._queue.append(_EndOfInput(idx))
                         self._advance_reader_locked()
                 self._mu.notify_all()
+
+    @staticmethod
+    def _try_seek(inp, pos):
+        try:
+            return inp.codec.seek(pos)
+        except Exception:
+            return -1
 
     def _advance_reader_locked(self):
         self._reader_idx += 1
@@ -156,20 +196,24 @@ class ReadBuffer:
     def _apply_command_locked(self, cmd, arg):
         if cmd == "seek":
             target = arg
-            # rewind later inputs the reader pre-read, then drop everything
-            # queued (read_queue_seek walks from the back doing exactly this,
-            # codec_buf.c:195-230)
+            # seek the current input FIRST; queued audio is dropped only on
+            # success (read_queue_seek drops via `if (*pos >= 0)
+            # read_queue_drop`, codec_buf.c:216-218) — a failed seek on an
+            # unseekable input must not discard buffered blocks (that would
+            # skip several seconds of audio while staying "in place").
+            # Simplification vs the reference's back-to-front walk: failure
+            # is a total no-op here (the reference may have already rewound
+            # later inputs when the current input's seek fails).
             rewound = self._reader_idx > self.cur_idx
-            for i in range(self.cur_idx + 1, min(self._reader_idx + 1, len(self.inputs))):
-                try:
-                    self.inputs[i].codec.seek(self.inputs[i].start_pos)
-                except Exception:
-                    pass
-            self._drop_queue_locked()
             inp = self.inputs[self.cur_idx]
-            got = inp.codec.seek(target)
+            got = self._try_seek(inp, target)
             self._seek_result = got
             if got >= 0:
+                # rewind later inputs the reader pre-read, then drop the
+                # queue (codec_buf.c:195-230 walks from the back doing this)
+                for i in range(self.cur_idx + 1, min(self._reader_idx + 1, len(self.inputs))):
+                    self._try_seek(self.inputs[i], self.inputs[i].start_pos)
+                self._drop_queue_locked()
                 self._reader_idx = self.cur_idx
                 self._reader_pos = got
                 if rewound:
@@ -217,7 +261,7 @@ class ReadBuffer:
 
     def _command_unbuffered(self, cmd, arg):
         if cmd == "seek":
-            got = self.inputs[self.cur_idx].codec.seek(arg)
+            got = self._try_seek(self.inputs[self.cur_idx], arg)
             self._seek_result = got
             if got >= 0:
                 self._pos[self.cur_idx] = got

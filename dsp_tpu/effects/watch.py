@@ -134,6 +134,11 @@ class WatchEffect(Effect):
         from dsp_tpu.chain.parser import ChainParseError, parse_file_into
         from dsp_tpu.effects.base import EffectError
 
+        if self.sub_old is not None:
+            # mid-crossfade: the runner defers pending reloads until the
+            # fade completes (watch.c:135); swapping now would nest fade
+            # state dicts and corrupt the stream state
+            return False
         chain = Chain(istream=self.istream, ostream=self.istream)
         sref = [self.istream]
         try:

@@ -275,3 +275,60 @@ def test_unbuffered_fast_path():
     out = rb.read(256)
     assert out[0, 0] == 500.0
     rb.close()
+
+
+class UnseekableCodec(FakeCodec):
+    def seek(self, target):
+        return -1
+
+
+class ErroringCodec(FakeCodec):
+    """Raises on the read that crosses err_at."""
+
+    def __init__(self, err_at=5000, **kw):
+        super().__init__(**kw)
+        self.err_at = err_at
+
+    def read(self, want):
+        if self.pos + want > self.err_at:
+            raise RuntimeError("device died")
+        return super().read(want)
+
+
+def test_failed_seek_preserves_buffered_audio():
+    """A seek on an unseekable input must be a no-op: the reference drops
+    queued blocks only when the codec seek succeeds (codec_buf.c:216-218);
+    pre-fix the queue was dropped first, skipping several buffered seconds."""
+    c = UnseekableCodec(frames=100000)
+    rb = ReadBuffer([Inp(c)], block_frames=1000, n_blocks=4, force_thread=True)
+    try:
+        first = rb.read(500)  # frames 0..499
+        assert first[0, 0] == 0.0 and first[-1, 0] == 499.0
+        deadline = time.time() + 5
+        while rb.delay() < 2000 and time.time() < deadline:
+            time.sleep(0.01)
+        assert rb.seek(50000) < 0  # fails
+        nxt = rb.read(500)  # must CONTINUE at frame 500 with no gap
+        assert nxt[0, 0] == 500.0 and nxt[-1, 0] == 999.0
+    finally:
+        rb.close()
+
+
+def test_reader_decode_error_latches_and_unblocks():
+    """A codec exception in the reader thread must not hang the consumer:
+    the input ends, read() returns empty, and the error is latched for the
+    app to report (the write-buffer error-latch analog, codec_buf.c:598)."""
+    c = ErroringCodec(err_at=2500, frames=100000)
+    rb = ReadBuffer([Inp(c)], block_frames=1000, n_blocks=4, force_thread=True)
+    try:
+        got = 0
+        while True:
+            b = rb.read(1000)
+            if len(b) == 0:
+                break
+            got += len(b)
+        assert got == 2000  # the two clean blocks arrived
+        assert rb.end_of_input()
+        assert rb.error is not None
+    finally:
+        rb.close()

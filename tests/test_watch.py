@@ -159,3 +159,79 @@ def test_mtime_poll_requests_reload(tmp_path, noise):
     we._last_poll = 0.0
     cc.host_update()
     assert not we.reload_requested
+
+
+def test_reload_during_active_fade_is_deferred(tmp_path, noise):
+    """A second reload landing mid-crossfade must not nest fade states
+    (pre-fix: KeyError in _run_sub): the swap is deferred until the active
+    fade completes (watch.c:135 `update_chain && xfade.pos == 0`), then the
+    pending reload applies cleanly."""
+    x = noise
+    f, chain, cc, we = _build_watch_chain(tmp_path, "gain -3")
+    _run_blocks(cc, x[: 2 * B])
+
+    f.write_text("gain -6\n")
+    assert cc.watch_swap(we)
+    assert we.sub_old is not None
+
+    # mid-fade: a direct apply_reload must refuse ...
+    f.write_text("gain -9\n")
+    assert not we.apply_reload(B)
+    # ... and the runner-level path defers (reload_requested stays pending)
+    we.reload_requested = True
+    from dsp_tpu.cli.interactive import StreamLoop  # noqa: F401 (driver parity)
+
+    # run until the first fade ends, polling like check_watch_reload does
+    deferred = True
+    for i in range(2, 10):
+        if we.sub_old is None and we.reload_requested:
+            # fade done -> pending reload may now apply
+            we.reload_requested = False
+            assert we.apply_reload(B)
+            cc.retrace({id(we): we.xfade_state_entry(
+                cc.states[cc._runtime_effects.index(we)], B)})
+            deferred = False
+        y = np.asarray(cc.run_block(x[i * B : (i + 1) * B]))
+        assert np.isfinite(y).all()
+        cc.finish_watch_fades()
+    assert not deferred, "second reload never applied"
+    assert we.sub_old is None
+    # final steady state is gain -9 through the outer lowpass
+    ctl = build_chain_from_string("lowpass 500 0.7071", StreamInfo(FS, 2))
+    lp = _run_blocks(CompiledChain(ctl, block_frames=B), x)
+    g3 = 10 ** (-9 / 20)
+    np.testing.assert_allclose(
+        np.asarray(cc.run_block(x[10 * B : 11 * B])),
+        lp[10 * B : 11 * B] * g3, rtol=0, atol=1e-13)
+
+
+def test_streaming_loop_output_matches_offline(tmp_path):
+    """The streaming loop (forced by watch) must produce the same frame
+    count and audio as the offline path for non-block-aligned input lengths
+    and multi-input concatenation — the B-alignment carry must persist
+    across inputs (no zero insertion) and the tail must be trimmed exactly
+    (pre-fix: zero-pad output was written untrimmed)."""
+    import subprocess
+    import sys
+
+    sub = tmp_path / "sub.txt"
+    sub.write_text("lowpass 1k 0.7071\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out_a = str(tmp_path / "a.raw")
+    out_b = str(tmp_path / "b.raw")
+    # two inputs with non-block-multiple lengths (0.23 s + 0.31 s)
+    base = ["-q", "-t", "sgen", "sine:freq=997+0.23",
+            "-t", "sgen", "sine:freq=1.3k+0.31",
+            "-o", "-t", "pcm", "-e", "double"]
+
+    def run(args):
+        r = subprocess.run([sys.executable, "-m", "dsp_tpu.cli.main"] + args,
+                           env=env, capture_output=True, text=True, timeout=110)
+        assert r.returncode == 0, r.stderr
+
+    run(base + [out_a, "watch", str(sub)])       # streaming loop
+    run(base + [out_b, "lowpass", "1k", "0.7071"])  # offline path
+    a = np.fromfile(out_a, dtype=np.float64)
+    b = np.fromfile(out_b, dtype=np.float64)
+    assert len(a) == len(b), (len(a), len(b))
+    assert np.abs(a - b).max() < 1e-12
