@@ -293,6 +293,15 @@ def align_channels(chain):
         for e in chain.effects[pos:]:
             r *= e.ratio
         total += disc * r
+    if total.denominator != 1:
+        # a rate change after an align-discard point makes the discard
+        # fractional in output frames; the output-side discard (documented
+        # deviation #2, PARITY.md) floors it — up to one output frame of
+        # phase offset vs the reference's exact mid-chain discard
+        log.verbose(
+            "info: align discard is fractional at the output (%s frames); flooring",
+            total,
+        )
     chain.output_discard = int(total)
 
 
@@ -366,7 +375,11 @@ def build_chain_from_args(argv, stream, mask=None, dir_=None):
 
 
 def _escape_word(w):
-    if w == "" or any(c.isspace() for c in w) or '"' in w or "\\" in w:
+    # the reference lexes each argv element as ONE verbatim token
+    # (ec_lex_word, effects_chain.c:79-103): quote anything the string
+    # re-lexer would split or misread — whitespace, quotes, and '#'
+    # (comment-start in the string grammar, plain literal in argv)
+    if w == "" or any(c.isspace() for c in w) or '"' in w or "\\" in w or "#" in w:
         return '"' + w.replace("\\", "\\\\").replace('"', '\\"') + '"'
     return w
 
@@ -419,7 +432,7 @@ class CompiledChain:
             quantum = int(getattr(e, "block_quantum", 1))
             if quantum > 1:
                 need = Fraction(quantum) / r  # input frames per quantum
-                q = lcm(q, need.numerator) if need.denominator == 1 else lcm(q, need.numerator)
+                q = lcm(q, need.numerator)
             r *= e.ratio
             q = lcm(q, r.denominator)
         self.block_frames = -(-block_frames // q) * q

@@ -364,14 +364,21 @@ class StreamLoop:
         terminal.update()
 
 
-def run_interactive(state, chain_args, stream, writer, out_codec):
-    """Main interactive loop over the input list (dsp.c:1288-1455)."""
+def run_interactive(state, chain_args, stream, writer, out_codec, enable_ui=True):
+    """Main interactive loop over the input list (dsp.c:1288-1455).
+
+    enable_ui=False runs the same streaming loop (needed for watch's
+    per-block reload checks) WITHOUT key or terminal handling — the
+    non-interactive watch case (-I, or no interactive output device)."""
     loop = StreamLoop(state, chain_args, stream, writer, out_codec)
     install_signal_handlers(loop.evq)
-    keys = KeyReader(loop.evq)
-    started = keys.start()
-    loop._keys = keys if started else None
-    terminal.enable()
+    started = False
+    keys = None
+    if enable_ui:
+        keys = KeyReader(loop.evq)
+        started = keys.start()
+        loop._keys = keys if started else None
+        terminal.enable()
     B = loop.cc.block_frames
     from dsp_tpu.cli.readbuf import ReadBuffer
 
@@ -483,7 +490,8 @@ def run_interactive(state, chain_args, stream, writer, out_codec):
         loop.cc.host_finish()
     finally:
         rb.close()
-        terminal.disable()
+        if enable_ui:
+            terminal.disable()
         if started:
             keys.stop()
     if rb.error is not None:

@@ -124,7 +124,6 @@ def _parse_codec_params(state, argv, ind):
         if len(a) < 2 or a[0] != "-":
             break
         sp = 1
-        consumed = True
         while sp < len(a):
             c = a[sp]
             arg = None
@@ -235,8 +234,6 @@ def _parse_codec_params(state, argv, ind):
             elif c == "n":
                 p.path = "null"
                 p.type = "null"
-                if p.fs == 0:
-                    p.fs = 0
                 return p, timespan, repeats, ind + 1
             elif c == "T":
                 timespan = need_arg()
@@ -252,8 +249,7 @@ def _parse_codec_params(state, argv, ind):
             else:
                 raise CliError(f"unrecognized option '{c}'")
             sp += 1
-        if consumed:
-            ind += 1
+        ind += 1
     if p.buf_ratio == 0:
         p.buf_ratio = state.output_buf_ratio if p.mode == CODEC_MODE_WRITE else state.input_buf_ratio
     else:
@@ -436,16 +432,16 @@ def run_offline(state, chain, out_writer, progress_cb=None):
             pushed += CH
         if final and len(carry):
             n = len(carry)
-            take = -(-n // B) * B  # round up to whole blocks (as before)
-            pad = take - n
             xs = np.concatenate(
                 [carry, np.zeros((CH - n, carry.shape[1]), dtype=np.float64)], axis=0
             ).reshape(meta_blocks, B, carry.shape[1])
             carry = carry[:0]
-            # output to trim: the all-zero blocks beyond `take` (exact: both
-            # are multiples of B) + the sub-block padding (same floor rule as
-            # the pre-padding path used)
-            trim = int(Fraction(CH - take) * chain.ratio) + int(pad * chain.ratio)
+            # trim the pad output so EXACTLY floor(n * ratio) frames of the
+            # final partial survive (the frame-accounting floor rule shared
+            # with CompiledChain.process_array and the streaming loop's
+            # flush_tail); CH * ratio is integral (CH is a multiple of the
+            # quantized B), so trim = CH*r - floor(n*r)
+            trim = int(Fraction(CH) * chain.ratio) - int(Fraction(n) * chain.ratio)
             ys = cc.run_blocks(xs)
             flush_pending()
             pending = (ys, trim)
@@ -601,13 +597,21 @@ def main(argv=None):
         " (effect)" if do_dither and not writer.add_dither else "",
     )
 
+    # auto-interactive: an unforced (-i/-I absent) run goes interactive when
+    # the output codec is an audio device (dsp.c:1268-1269)
+    interactive = state.interactive
+    if interactive is None:
+        from dsp_tpu.codecs.base import CODEC_HINT_INTERACTIVE
+
+        interactive = bool(out_codec.hints & CODEC_HINT_INTERACTIVE)
+
     ret = 0
     try:
         if state.input_mode == "abx":
             from dsp_tpu.cli.interactive import run_abx
 
             ret = run_abx(state, chain_args, stream, writer, out_codec, state.n_trials)
-        elif state.interactive:
+        elif interactive:
             from dsp_tpu.cli.interactive import run_interactive
 
             ret = run_interactive(state, chain_args, stream, writer, out_codec)
@@ -615,12 +619,19 @@ def main(argv=None):
             ret = _run_sequence(state, chain_args, writer, out_codec)
         elif any(type(e).__name__ == "WatchEffect" for e in chain.effects):
             # watch needs per-block reload checks + crossfade: use the
-            # streaming loop (keys inactive without a tty)
+            # streaming loop, but honor -I / non-interactive (no key or
+            # terminal handling — the reference runs watch via its mtime
+            # poll alone in this case)
             from dsp_tpu.cli.interactive import run_interactive
 
-            ret = run_interactive(state, chain_args, stream, writer, out_codec)
+            ret = run_interactive(state, chain_args, stream, writer, out_codec,
+                                  enable_ui=False)
         else:
-            run_offline(state, chain, writer)
+            cb = _offline_progress(state)
+            run_offline(state, chain, writer, progress_cb=cb)
+            if cb is not None:
+                sys.stderr.write("\r\033[K")
+                sys.stderr.flush()
     except KeyboardInterrupt:
         log.info("interrupted")
     finally:
@@ -631,7 +642,9 @@ def main(argv=None):
         except Exception as e:
             log.error("error: output: %s", e)
             ret = 1
-        out_codec.close()
+        # writer.codec is the CURRENT output codec — sequence mode may have
+        # reopened it (the original was closed at that point)
+        writer.codec.close()
     if state.clip_count > 0:
         log.info(
             "warning: clipped %d samples (%.2fdBFS peak)",
@@ -639,6 +652,49 @@ def main(argv=None):
             20 * np.log10(state.peak) if state.peak > 0 else -np.inf,
         )
     return ret
+
+
+def _offline_progress(state):
+    """Throttled progress line for offline runs (dsp.c:612-659), unless -q
+    or stderr is not a terminal."""
+    if not state.show_progress or not sys.stderr.isatty():
+        return None
+    import time as _time
+
+    from dsp_tpu.core.parse import format_dur
+
+    total = 0
+    known = True
+    for inp in state.inputs:
+        if inp.end_pos >= 0:
+            span = inp.end_pos - inp.start_pos
+        elif inp.codec.frames and inp.codec.frames > 0:
+            span = inp.codec.frames - inp.start_pos
+        else:
+            span = None
+        if span is None or inp.repeats != 0:
+            known = False
+            break
+        total += span
+    fs = state.inputs[0].codec.fs if state.inputs else 44100
+    last = [0.0]
+
+    def cb(frames_in, written):
+        now = _time.monotonic()
+        if now - last[0] < 0.1:  # 10 Hz throttle like the reference
+            return
+        last[0] = now
+        cur = format_dur(frames_in / fs)
+        if known and total > 0:
+            pct = 100.0 * frames_in / total
+            rem = format_dur(max(total - frames_in, 0) / fs)
+            line = f"> {cur} [{pct:5.1f}%] of {format_dur(total / fs)} -{rem}"
+        else:
+            line = f"> {cur}"
+        sys.stderr.write(f"\r\033[K{line}")
+        sys.stderr.flush()
+
+    return cb
 
 
 def _run_sequence(state, chain_args, writer, out_codec):
@@ -661,6 +717,7 @@ def _run_sequence(state, chain_args, writer, out_codec):
         chain = build_chain_from_args(chain_args, stream)
         if cur_out.fs != chain.ostream.fs or cur_out.channels != chain.ostream.channels:
             log.info("info: reopening output for new stream format")
+            writer.drain()  # flush queued blocks BEFORE the old codec closes
             cur_out.close()
             cur_out = _reopen_output(state, chain)
             writer.codec = cur_out

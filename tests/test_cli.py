@@ -275,3 +275,63 @@ class TestCliAbx:
         assert exited, buf[-400:]
         m = re.search(rb"ABX result: (\d+) correct out of 2 \(p=", buf)
         assert m, buf[-400:]
+
+
+class TestReviewRegressions:
+    def test_hash_initial_argv_word(self, tmp_path):
+        """A '#'-initial argv word is ONE verbatim token in the reference
+        (ec_lex_word, effects_chain.c:79-103); pre-fix the argv join
+        re-lexed it as a comment, silently dropping the rest of the chain."""
+        from dsp_tpu.chain import build_chain_from_args
+        from dsp_tpu.codecs import CodecParams, init_codec
+        from dsp_tpu.codecs.base import CODEC_MODE_WRITE
+        from dsp_tpu.core.types import StreamInfo
+
+        w = init_codec(CodecParams(str(tmp_path / "#taps.wav"), type="wav",
+                                   enc="double", fs=44100, channels=1,
+                                   mode=CODEC_MODE_WRITE))
+        w.write(np.array([[0.5], [0.25], [0.125]]))
+        w.close()
+        c = build_chain_from_args(["fir", "#taps.wav", "gain", "-3"],
+                                  StreamInfo(44100, 1), dir_=str(tmp_path))
+        assert [e.name for e in c.effects] == ["fir", "gain"]
+
+    def test_offline_output_length_floor_rule(self, tmp_path):
+        """run_offline's final-chunk trim must keep floor(n*ratio) frames,
+        matching CompiledChain.process_array exactly (pre-fix it kept
+        ceil(n*ratio), one spurious frame for fractional ratios)."""
+        from dsp_tpu.chain import CompiledChain, build_chain_from_string
+        from dsp_tpu.core.types import StreamInfo
+
+        n_in = 10007  # prime: guarantees fractional products
+        x = np.sin(2 * np.pi * 997 * np.arange(n_in) / 44100) * 0.4
+        raw_in = str(tmp_path / "i.raw")
+        x.astype(np.float64).tofile(raw_in)
+        out = str(tmp_path / "o.raw")
+        r = run_dsp(["-q", "-r", "44100", "-c", "1", "-t", "pcm", "-e", "double",
+                     raw_in, "-o", "-t", "pcm", "-e", "double", out,
+                     "resample", "48k"])
+        assert r.returncode == 0, r.stderr
+        y_cli = np.fromfile(out, dtype=np.float64)
+        chain = build_chain_from_string("resample 48k", StreamInfo(44100, 1))
+        cc = CompiledChain(chain, block_frames=2048)
+        y_lib = cc.process_array(x[:, None])
+        assert len(y_cli) == len(y_lib), (len(y_cli), len(y_lib))
+
+    def test_sequence_mode_reopen_finalizes_output(self, tmp_path):
+        """-S with a format change: the writer must drain BEFORE the old
+        output codec closes, and the FINAL codec must be closed/finalized
+        (pre-fix: tail blocks went to a closed codec and the reopened wav
+        was never finalized)."""
+        out = str(tmp_path / "o.wav")
+        r = run_dsp(["-q", "-S",
+                     "-r", "44100", "-t", "sgen", "sine:freq=997+0.2",
+                     "-r", "48000", "-t", "sgen", "sine:freq=1.3k+0.25",
+                     "-o", "-t", "wav", "-e", "double", out])
+        assert r.returncode == 0, r.stderr
+        y, (fs, ch) = read_wav(out)
+        # the reopen truncates (documented reference behavior): the file
+        # holds the SECOND group at its rate, fully written
+        assert fs == 48000 and ch == 1
+        assert abs(len(y) - int(0.25 * 48000)) <= 2
+        assert np.abs(y).max() > 0.5
