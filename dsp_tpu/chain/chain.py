@@ -32,6 +32,7 @@ class Chain:
     effects: list = field(default_factory=list)
     ratio: Fraction = Fraction(1)
     drain_frames: int = 0
+    drain_out_frames: int = 0  # the same drain expressed at the OUTPUT rate (exact)
     output_discard: int = 0  # frames to drop at chain output (align-discard equivalent)
     zero_ref: int = 0
 
@@ -339,6 +340,10 @@ def set_drain_frames(chain):
     out_ch = chain.ostream.channels
     for o in range(out_ch):
         drain = max(drain, samples[o])
+    # keep the exact output-rate figure: the back-conversion to input frames
+    # below floors (mirroring effects_chain.c:918-920) and the runners need
+    # the exact output-frame drain for their length accounting
+    chain.drain_out_frames = drain
     if chain.istream.fs != chain.ostream.fs:
         g = gcd(chain.istream.fs, chain.ostream.fs)
         drain = drain * (chain.istream.fs // g) // (chain.ostream.fs // g)
@@ -409,6 +414,24 @@ def build_chain_from_file(path, stream, mask=None, dir_=None, enforce_eof_marker
 # ---------------------------------------------------------------------------
 
 
+def block_quantum_for(effects):
+    """Input-block quantum for a list of effects: the block size must keep
+    every intermediate frame count integral (static shapes) and be a
+    multiple of each effect's block_quantum expressed in input frames.
+    Used by CompiledChain and by container effects (watch) that must export
+    their sub-chain's quantum."""
+    q = 1
+    r = Fraction(1)  # product of ratios before the current effect
+    for e in effects:
+        quantum = int(getattr(e, "block_quantum", 1))
+        if quantum > 1:
+            need = Fraction(quantum) / r  # input frames per quantum
+            q = lcm(q, need.numerator)
+        r *= e.ratio
+        q = lcm(q, r.denominator)
+    return q
+
+
 class CompiledChain:
     """A chain compiled for a fixed input block size.
 
@@ -423,18 +446,7 @@ class CompiledChain:
         self.chain = chain
         self.dtype = dtype or config.sample_dtype()
         block_frames = block_frames or config.DEFAULT_BLOCK_FRAMES
-        # quantum: the input block size must keep every intermediate frame
-        # count integral (static shapes), and must be a multiple of each
-        # effect's block_quantum expressed in chain-input frames.
-        q = 1
-        r = Fraction(1)  # product of ratios before the current effect
-        for e in chain.effects:
-            quantum = int(getattr(e, "block_quantum", 1))
-            if quantum > 1:
-                need = Fraction(quantum) / r  # input frames per quantum
-                q = lcm(q, need.numerator)
-            r *= e.ratio
-            q = lcm(q, r.denominator)
+        q = block_quantum_for(chain.effects)
         self.block_frames = -(-block_frames // q) * q
         self.out_frames = int(self.block_frames * chain.ratio)
         # per-effect input block size (rate changes alter it mid-chain)
@@ -700,12 +712,20 @@ class CompiledChain:
         total = n_in + pad
         self.set_valid_frames(total)
         B = self.block_frames
-        n_blocks = max(1, -(-total // B))
+        rr = self.chain.ratio
+        # output length law: ceil(n_in * ratio) + the drain expressed at the
+        # OUTPUT rate — the emergent total of the reference's run + drain
+        # accounting (ratio_mult_ceil in drains; for a pure resample chain
+        # this is exactly ceil(N*n/d), resample.c:163-188)
+        out_valid = -(-n_in * rr.numerator // rr.denominator)
+        if drain:
+            out_valid += self.chain.drain_out_frames
+        b_out = int(B * rr)
+        n_blocks = max(1, -(-total // B), -(-out_valid // b_out))
         xp = np.zeros((n_blocks * B, x.shape[1]), dtype=np.float64)
         xp[:n_in] = x
         ys = self.run_blocks(xp.reshape(n_blocks, B, x.shape[1]))
         y = np.asarray(ys, dtype=np.float64).reshape(-1, ys.shape[-1])
-        out_valid = int(np.floor(total * self.chain.ratio)) if drain else int(n_in * self.chain.ratio)
         y = y[:out_valid]
         if discard and self.chain.output_discard:
             y = y[self.chain.output_discard :]
@@ -730,7 +750,12 @@ class CompiledChain:
         pad = self.chain.drain_frames if drain else 0
         total = n_in + pad
         B = self.block_frames
-        n_blocks = max(1, -(-total // B))
+        rr = self.chain.ratio
+        out_valid = -(-n_in * rr.numerator // rr.denominator)
+        if drain:
+            out_valid += self.chain.drain_out_frames
+        b_out = int(B * rr)
+        n_blocks = max(1, -(-total // B), -(-out_valid // b_out))
         flat = np.zeros((S, n_blocks * B, c_in), dtype=np.float64)
         flat[:, :n_in] = xs
         xp = flat.reshape(S, n_blocks, B, c_in)
@@ -767,7 +792,6 @@ class CompiledChain:
             )
         _, ys = vrun(states, xj)
         y = fetch_np(ys, dtype=np.float64).reshape(S, -1, ys.shape[-1])
-        out_valid = int(np.floor(total * self.chain.ratio)) if drain else int(n_in * self.chain.ratio)
         y = y[:, :out_valid]
         if discard and self.chain.output_discard:
             y = y[:, self.chain.output_discard :]

@@ -392,18 +392,24 @@ def run_interactive(state, chain_args, stream, writer, out_codec, enable_ui=True
     def flush_tail(carry, drain_n):
         """Feed the carried partial block plus drain_n frames of silence,
         padded to whole blocks, and trim the written output to EXACTLY
-        floor((len(carry)+drain_n)*ratio) post-discard frames — the
-        reference's frame accounting (effects_chain.c:1058-1081 +
-        drain, effects_chain.c:1186-1218). Without the trim, the
-        B-alignment zero padding would append spurious output frames."""
+        ceil((len(carry)+drain_n)*ratio) post-discard frames — the
+        reference's drain accounting rounds pending input up at each rate
+        change (ratio_mult_ceil, effects_chain.c:1186-1218, resample.c
+        drain2). Without the trim, the B-alignment zero padding would
+        append spurious output frames."""
         Bq = loop.cc.block_frames
         total = len(carry) + drain_n
         if total == 0:
             return
+        r = loop.chain.ratio
+        expect = -(-len(carry) * r.numerator // r.denominator)
+        if drain_n:
+            expect += loop.chain.drain_out_frames
+        b_out = int(Bq * r)
+        n_blocks = max(-(-total // Bq), -(-expect // b_out)) if expect else -(-total // Bq)
         padded = np.concatenate(
-            [carry, np.zeros((drain_n + ((-total) % Bq), stream.channels))], axis=0
+            [carry, np.zeros((n_blocks * Bq - len(carry), stream.channels))], axis=0
         )
-        expect = int(total * loop.chain.ratio)
         written = 0
         for i in range(0, len(padded), Bq):
             y = loop.process_block(padded[i : i + Bq])

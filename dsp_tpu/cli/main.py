@@ -388,6 +388,8 @@ def run_offline(state, chain, out_writer, progress_cb=None):
     carry = np.zeros((0, chain.istream.channels), dtype=np.float64)
     discard_left = chain.output_discard
     written = 0
+    raw_out = 0  # pre-discard output frames emitted (post-trim)
+    target_out = 0  # set before the final push
     pending = None  # (device result, trailing pad frames) awaiting fetch
 
     def flush_pending():
@@ -418,10 +420,11 @@ def run_offline(state, chain, out_writer, progress_cb=None):
         scan shape for the whole run — a second shape would cost another
         trace+lower+compile per process); the final short chunk is padded
         with zero blocks whose output is trimmed."""
-        nonlocal carry, pending
+        nonlocal carry, pending, raw_out
         if chunk is not None and len(chunk):
             carry = np.concatenate([carry, chunk], axis=0) if len(carry) else chunk
         CH = meta_blocks * B
+        CHr = int(Fraction(CH) * chain.ratio)  # integral: CH is a B-multiple
         pushed = 0
         while len(carry) >= CH:
             xs = carry[:CH].reshape(meta_blocks, B, carry.shape[1])
@@ -429,24 +432,26 @@ def run_offline(state, chain, out_writer, progress_cb=None):
             ys = cc.run_blocks(xs)  # async dispatch
             flush_pending()  # fetch the PREVIOUS chunk while this one computes
             pending = (ys, 0)
+            raw_out += CHr
             pushed += CH
-        if final and len(carry):
-            n = len(carry)
-            xs = np.concatenate(
-                [carry, np.zeros((CH - n, carry.shape[1]), dtype=np.float64)], axis=0
-            ).reshape(meta_blocks, B, carry.shape[1])
-            carry = carry[:0]
-            # trim the pad output so EXACTLY floor(n * ratio) frames of the
-            # final partial survive (the frame-accounting floor rule shared
-            # with CompiledChain.process_array and the streaming loop's
-            # flush_tail); CH * ratio is integral (CH is a multiple of the
-            # quantized B), so trim = CH*r - floor(n*r)
-            trim = int(Fraction(CH) * chain.ratio) - int(Fraction(n) * chain.ratio)
-            ys = cc.run_blocks(xs)
-            flush_pending()
-            pending = (ys, trim)
-            pushed += n
         if final:
+            # emit zero-padded chunks until the exact pre-discard output
+            # target is reached, trimming the last — the reference's drain
+            # accounting rounds pending input UP at each rate change
+            # (ratio_mult_ceil, resample.c:175; see chain.drain_out_frames)
+            while len(carry) or raw_out < target_out:
+                n = len(carry)
+                xs = np.concatenate(
+                    [carry, np.zeros((CH - n, carry.shape[1]), dtype=np.float64)],
+                    axis=0,
+                ).reshape(meta_blocks, B, carry.shape[1])
+                carry = carry[:0]
+                trim = max(0, raw_out + CHr - target_out)
+                ys = cc.run_blocks(xs)
+                flush_pending()
+                pending = (ys, trim)
+                raw_out += CHr - trim
+                pushed += n
             flush_pending()
         return pushed
 
@@ -486,6 +491,10 @@ def run_offline(state, chain, out_writer, progress_cb=None):
     # effects (stats) there so final-block zero padding never enters them
     pre_pad = total_in + (chain.drain_frames if state.drain_effects else 0)
     cc.set_valid_frames(pre_pad)
+    rr = chain.ratio
+    target_out = -(-total_in * rr.numerator // rr.denominator)
+    if state.drain_effects:
+        target_out += chain.drain_out_frames
     if state.drain_effects and chain.drain_frames > 0:
         drain_in = np.zeros((chain.drain_frames, chain.istream.channels), dtype=np.float64)
         push(drain_in, final=True)

@@ -292,7 +292,6 @@ class ModDelayEffect(Effect):
         lanes = 1 if self.is_mono else self.istream.channels
         t0 = state["t"]
         step = self.step_size
-        tt = t0 + step * jnp.arange(1, B + 1)
         # knot index advanced per sample *after* evaluating, so sample n uses
         # knot floor(t0 + step*n) evaluated at frac phase
         tev = t0 + step * jnp.arange(B)
@@ -442,7 +441,9 @@ def delay_effect_init(ei, istream, selector, dir_, argv):
     mod_samples = 0.0
     if mod_arg is not None:
         v, rest = strtod(mod_arg)
-        if rest == "%" and rest is not mod_arg and rest != mod_arg:
+        if rest == "%":
+            # a bare '%' parses as 0% (strtod consumed nothing, v == 0) —
+            # the reference accepts it as no modulation (delay.c:733-740)
             mod_samples = samples * (v / 100.0)
         else:
             try:

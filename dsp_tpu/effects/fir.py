@@ -58,7 +58,15 @@ class FirEffect(Effect):
     def _engine(self, B):
         eng = self._engines.get(B)
         if eng is None:
-            cls = UpolsConv if self.partitioned else OlsConv
+            # single-FFT overlap-save is efficient when the filter is of the
+            # order of the block; a long filter at a small block would redo
+            # an O(F) FFT per block, so delegate to the partitioned FDL
+            # engine (identical output, fft_conv.py)
+            cls = (
+                UpolsConv
+                if self.partitioned or self.filter_frames > 4 * B
+                else OlsConv
+            )
             eng = cls(self.filters, B)
             self._engines[B] = eng
         return eng
@@ -133,11 +141,15 @@ def _fir_init_common(ei, istream, selector, dir_, argv, partitioned, extra_len_a
         if rest:
             raise EffectError(f"{name}: failed to parse partition length: {a}")
         vals.append(v)
+    path = operands[-1]
+    data, fch, frames = read_filter(name, istream, selector, dir_, cfg, path)
     if extra_len_args == 2 and vals:
-        # zita min/max_part_len (zita_convolver.cpp:135-149): 0 = default,
-        # both within Convproc [MINPART=64, MAXPART=8192]; max < min is a
-        # warning (clamped); non-power-of-2 values pass the range check but
-        # make Convproc::configure fail, so the reference errors there
+        # zita min/max_part_len, validated AFTER the filter loads (the
+        # reference's checks live in init_with_filter, which runs after
+        # fir_read_filter: zita_convolver.cpp:135-149, 245-248): 0 =
+        # default, both within Convproc [MINPART=64, MAXPART=8192];
+        # max < min is a warning (clamped); non-power-of-2 values pass the
+        # range check but make Convproc::configure fail
         for v in vals:
             if v != 0 and not (64 <= v <= 8192):
                 raise EffectError(
@@ -151,8 +163,6 @@ def _fir_init_common(ei, istream, selector, dir_, argv, partitioned, extra_len_a
         for v in vals:
             if v and v & (v - 1):
                 raise EffectError(f"{name}: failed to configure convolution engine")
-    path = operands[-1]
-    data, fch, frames = read_filter(name, istream, selector, dir_, cfg, path)
     if extra_len_args == 1 and vals and frames > 32:
         # fir_p max_part_len (fir_p.c:376-384): 0 = default, power of 2,
         # >= DIRECT_LEN (32). Filters of <= DIRECT_LEN taps bypass this

@@ -11,6 +11,7 @@ reference's internal first-block skip (resample.c:144-147) — same observable
 stream, static shapes.
 """
 
+import math
 from fractions import Fraction
 
 import numpy as np
@@ -61,10 +62,16 @@ class ResampleEffect(Effect):
         return lat, np.zeros(self.ostream.channels, dtype=np.int64)
 
     def drain_samples(self, samples):
-        # convert upstream tails to the output rate and add the filter tail
+        # convert upstream tails to the output rate (ratio_mult_ceil,
+        # effects_chain.c:909) and add the filter delay, which the chain's
+        # output-side discard removes from the stream FRONT — the extra
+        # out_delay tail frames keep the total at the reference's drain2
+        # accounting (resample.c:170-176: out_delay + pending-output +
+        # ceil(pending-input * ratio); pending terms are always complete in
+        # the exact-block model, covered by the runner's ceil tail rule)
         n, d = self.rs.n, self.rs.d
         for o in range(self.ostream.channels):
-            samples[o] = -(-samples[o] * n // d) + self.rs.out_delay + self.rs.out_len
+            samples[o] = -(-samples[o] * n // d) + self.rs.out_delay
 
 
 def resample_effect_init(ei, istream, selector, dir_, argv):
@@ -97,7 +104,7 @@ def resample_effect_init(ei, istream, selector, dir_, argv):
         rate = istream.fs // v
     else:
         try:
-            rate = int(round(parse_freq(rate_arg)))
+            rate = int(math.floor(parse_freq(rate_arg) + 0.5))  # lround, resample.c:249
         except ParseError:
             raise EffectError(f"{name}: failed to parse fs: {rate_arg}")
     if rate <= 0:

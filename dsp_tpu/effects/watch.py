@@ -48,6 +48,11 @@ class WatchEffect(Effect):
         finish_chain(chain)
         self.sub = chain
         self.ostream = chain.ostream
+        # export the sub-chain's block quantum (e.g. a resample inside the
+        # watch needs outer blocks to be multiples of its in_len)
+        from dsp_tpu.chain.chain import block_quantum_for
+
+        self.block_quantum = block_quantum_for(chain.effects)
         try:
             self._mtime = os.stat(self.path).st_mtime
         except OSError:

@@ -13,6 +13,7 @@ device step is rfft -> gather -> complex multiply -> segment-sum -> irfft,
 wrapped in a lax.scan over inner blocks when the chain block holds several.
 """
 
+import math
 from math import gcd
 
 import numpy as np
@@ -55,7 +56,9 @@ class SpectralResampler:
         max_rate, min_rate = max(in_fs, out_fs), min(in_fs, out_fs)
         max_factor, min_factor = max(self.n, self.d), min(self.n, self.d)
 
-        m = int(round(2.0 * M_FACT * max_rate / (min_rate * (1.0 - bw))))
+        # lround (half-away-from-zero), NOT Python round (banker's):
+        # ties like 60.5 must round to 61 as in the C build
+        m = int(math.floor(2.0 * M_FACT * max_rate / (min_rate * (1.0 - bw)) + 0.5))
         width = M_FACT * max_rate / m
         fc = (min_rate - width) / max_rate
         sinc_os = min(min_factor, SINC_MAX_OVERSAMPLE)
@@ -79,7 +82,7 @@ class SpectralResampler:
         if out_fs == max_rate:
             self.out_delay = m1 // 2
         else:
-            self.out_delay = int(round(m1 // 2 * (self.n / self.d)))
+            self.out_delay = int(math.floor(m1 // 2 * (self.n / self.d) + 0.5))  # lround
         self.filter_len = m1 + 1
         self.width = width
         self.fc = fc

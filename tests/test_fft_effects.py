@@ -199,3 +199,25 @@ class TestResample:
         y2 = cc2.process_array(x, drain=False)
         n = min(len(y1), len(y2))
         assert np.abs(y1[:n] - y2[:n]).max() < 1e-12
+
+
+class TestResampleLengthLaw:
+    @pytest.mark.parametrize("fs2,n_in", [
+        (96000, 11025), (96000, 10007), (96000, 22051),
+        (22050, 11025), (22050, 22051), (32000, 10007),
+    ])
+    def test_output_length_is_ceil(self, fs2, n_in):
+        """Total output of a pure resample chain = ceil(N * n/d) — the
+        emergent total of the reference's run + drain2 accounting
+        (resample.c:95-188: floor(N/in_len) blocks during run, then
+        out_delay + pending-output + ceil(pending-input * ratio) on drain,
+        with the initial out_delay skip cancelling)."""
+        from dsp_tpu.chain import CompiledChain, build_chain_from_string
+        from dsp_tpu.core.types import StreamInfo
+
+        chain = build_chain_from_string(f"resample {fs2}", StreamInfo(44100, 1))
+        cc = CompiledChain(chain, block_frames=2048)
+        y = cc.process_array(np.full((n_in, 1), 0.1))
+        r = chain.ratio
+        law = -(-n_in * r.numerator // r.denominator)
+        assert len(y) == law, (len(y), law)

@@ -236,8 +236,9 @@ def test_fuzz_chain_invariants(seed):
 
     # (1)+(2) finite output with exact length bookkeeping
     y_a = cc_a.process_array(x)
-    total = len(x) + chain.drain_frames
-    expect = int(np.floor(total * chain.ratio)) - chain.output_discard
+    r = chain.ratio
+    expect = (-(-len(x) * r.numerator // r.denominator)
+              + chain.drain_out_frames - chain.output_discard)
     assert y_a.shape == (expect, chain.ostream.channels), f"length: {s}"
     assert np.isfinite(y_a).all(), f"non-finite output: {s}"
 

@@ -235,3 +235,23 @@ def test_streaming_loop_output_matches_offline(tmp_path):
     b = np.fromfile(out_b, dtype=np.float64)
     assert len(a) == len(b), (len(a), len(b))
     assert np.abs(a - b).max() < 1e-12
+
+
+def test_watch_exports_subchain_block_quantum(tmp_path, noise):
+    """A resample inside a watch sub-chain constrains the OUTER block size
+    (in_len must divide it); pre-fix the compiled block was only quantized
+    by the ratio, crashing the resampler's exact-block assertion."""
+    f = tmp_path / "sub.txt"
+    f.write_text("resample 48k\n")
+    stream = StreamInfo(FS, 1)
+    chain = build_chain_from_string(f"watch {f}", stream)
+    # the rate change triggers an align pass; pick out the watch effect
+    (we,) = [e for e in chain.effects if type(e).__name__ == "WatchEffect"]
+    assert we.block_quantum % 147 == 0  # contains the resampler's in_len
+    cc = CompiledChain(chain, block_frames=2048)
+    assert cc.block_frames % we.block_quantum == 0
+    x = noise[: 3 * cc.block_frames, :1]
+    y = cc.process_array(x)
+    r = chain.ratio
+    assert len(y) == -(-len(x) * r.numerator // r.denominator) + chain.drain_out_frames - chain.output_discard
+    assert np.isfinite(y).all()
