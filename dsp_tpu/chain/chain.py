@@ -507,7 +507,9 @@ class CompiledChain:
 
         for e in effects:
             blk = self._block_at.get(id(e), 0)
-            if type(e) is BiquadEffect and blk % 128 == 0 and blk >= 256:
+            from dsp_tpu.ops.iir import BLOCKED_L
+
+            if type(e) is BiquadEffect and blk % BLOCKED_L == 0 and blk >= 2 * BLOCKED_L:
                 run.append(e)
             else:
                 flush()

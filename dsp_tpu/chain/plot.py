@@ -29,8 +29,12 @@ class PlotError(Exception):
 def plot_chain(chain, plot_phase=False):
     """Return the gnuplot program as a string."""
     fs = chain.istream.fs
-    for e in chain.effects:
-        if e.plot(0) is None:  # NULL e->plot (effects_chain.c:1130-1133)
+    # build each effect's lines ONCE, at its real index (the support probe
+    # and the emission used to call plot() twice — expensive for effects
+    # whose plot expression is large)
+    plots = [e.plot(i) for i, e in enumerate(chain.effects)]
+    for e, p in zip(chain.effects, plots):
+        if p is None:  # NULL e->plot (effects_chain.c:1130-1133)
             raise PlotError(
                 f"plot: error: effect '{e.name}' does not support plotting"
             )
@@ -53,7 +57,7 @@ def plot_chain(chain, plot_phase=False):
                 lines.append(comp)
             start_idx = i
             channels = e.ostream.channels
-        lines.extend(e.plot(i))
+        lines.extend(plots[i])
     for k in range(channels):
         comp = f"Ht{k}(f)=1.0"
         for j in range(start_idx, len(effects)):

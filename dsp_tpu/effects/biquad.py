@@ -283,7 +283,7 @@ class BiquadEffect(Effect):
     def step(self, state, x):
         import jax.numpy as jnp
 
-        if x.shape[0] % 128 == 0 and x.shape[0] >= 256:
+        if x.shape[0] % iir.BLOCKED_L == 0 and x.shape[0] >= 2 * iir.BLOCKED_L:
             # chunked MXU path: host-precomputed f64 matrix powers; faster
             # and more accurate (esp. float32) than the in-graph scan
             return iir.biquad_blocked(self._plan(), state, x)
@@ -353,15 +353,35 @@ def _get_width(s, name, effect_name):
 _NO_SLOPE = (WIDTH_Q, WIDTH_BW_OCT, WIDTH_BW_HZ)
 
 
+_N_POSITIONAL = {
+    LOWPASS_1: 1, HIGHPASS_1: 1, ALLPASS_1: 1, LOWPASS_1P: 1,
+    LOWSHELF_1: 2, HIGHSHELF_1: 2,
+    LOWPASS: 2, HIGHPASS: 2, BANDPASS_SKIRT: 2, BANDPASS_PEAK: 2,
+    NOTCH: 2, ALLPASS: 2,
+    PEAK: 3, LOWSHELF: 3, HIGHSHELF: 3,
+    LOWPASS_TRANSFORM: 4, HIGHPASS_TRANSFORM: 4,
+    DEEMPH: 0, BIQUAD: 6,
+}
+
+
 def biquad_effect_init(ei, istream, selector, dir_, argv):
     name = argv[0]
     args = argv[1:]
-    # -r[thresh] option (time-reversed IIR)
+    # -r[thresh] option (time-reversed IIR). Like the reference's
+    # INIT_COMMON (biquad.c:432-434), option scanning EXCLUDES the trailing
+    # positional arguments, so a negative positional (e.g. `biquad -0.5 ...`)
+    # is never mistaken for an option.
+    n_pos = _N_POSITIONAL[ei.effect_number]
+    if len(args) < n_pos:
+        raise EffectError(f"{name}: usage: {ei.usage}")
+    opt_args = args[: len(args) - n_pos] if n_pos else args
     try:
-        opts, ind = getopt(args, "r::")
+        opts, ind = getopt(opt_args, "r::")
     except ParseError as e:
         raise EffectError(f"{name}: {e}")
-    args = args[ind:]
+    if ind != len(opt_args):
+        raise EffectError(f"{name}: usage: {ei.usage}")
+    args = args[len(args) - n_pos :] if n_pos else args[ind:]
     reverse = False
     thresh = 80.0
     for opt, arg in opts:

@@ -32,16 +32,24 @@ from dsp_tpu.ops.fft_conv import UpolsConv
 MAX_N = 1 << 21
 
 
-def _reverse_ir_length(b, a, thresh_db):
-    """Truncation length from the slowest pole (reverse_iir.c / biquad.c:394)."""
-    poles = np.roots(a) if len(a) > 1 else np.array([])
-    r = np.max(np.abs(poles)) if len(poles) else 0.0
+def _pole_min_stages(thresh_db, r):
+    """RIIR_POLE_MIN_STAGES (reverse_iir.c:364): the doubling-cascade stage
+    count covering the pole's tail down to (thresh + 6.02) dB:
+    ceil(log2((thresh + 6.02) / (-20 log10 r)))."""
     if r >= 1.0:
         raise EffectError("reverse_iir: filter is unstable")
     if r <= 1e-12:
-        return len(b)
-    n = int(np.ceil(np.log(10.0 ** (-thresh_db / 20.0)) / np.log(r))) + len(b)
-    return min(max(n, len(b)), MAX_N)
+        return 0
+    return max(0, int(np.ceil(np.log2((thresh_db + 6.02) / (-20.0 * np.log10(r))))))
+
+
+def _section_stages(b, a, thresh_db):
+    """Max stage count over a section's poles (reverse_iir.c:438-446)."""
+    poles = np.roots(a) if len(a) > 1 else np.array([])
+    n = 0
+    for p in poles:
+        n = max(n, _pole_min_stages(thresh_db, abs(p)))
+    return n
 
 
 def _reversed_impulse(b, a, n):
@@ -65,12 +73,16 @@ class ReverseIirEffect(Effect):
         self.flags = EFFECT_FLAG_OPT_REORDERABLE | EFFECT_FLAG_CH_DEPS_IDENTITY
         self.thresh = thresh
         n_ch = istream.channels
-        # per-channel list of (b, a) sections; identity on unselected
+        # per-channel list of (b, a, thresh) sections — thresh is PER
+        # SECTION, like the reference's riir_init_sec (reverse_iir.c:697):
+        # merged cascaded -r filters keep their own truncation thresholds
         self.sections = [[] for _ in range(n_ch)]
         c0, c1, c2, c3, c4 = coeffs
         for k in range(n_ch):
             if self.channel_selector[k]:
-                self.sections[k].append((np.array([c0, c1, c2]), np.array([1.0, c3, c4])))
+                self.sections[k].append(
+                    (np.array([c0, c1, c2]), np.array([1.0, c3, c4]), thresh)
+                )
         self._built = False
 
     def merge(self, other):
@@ -79,7 +91,6 @@ class ReverseIirEffect(Effect):
         for k in range(self.istream.channels):
             self.sections[k].extend(other.sections[k])
         self.channel_selector |= other.channel_selector
-        self.thresh = max(self.thresh, other.thresh)
         return True
 
     def prepare(self):
@@ -93,16 +104,19 @@ class ReverseIirEffect(Effect):
         for k in self.sel_idx:
             b = np.array([1.0])
             a = np.array([1.0])
-            for bs, as_ in self.sections[int(k)]:
+            n_stages = 0
+            for bs, as_, th in self.sections[int(k)]:
+                n_stages = max(n_stages, _section_stages(bs, as_, th))
                 b = np.convolve(b, bs)
                 a = np.convolve(a, as_)
-            n = _reverse_ir_length(b, a, self.thresh)
-            # the reference's doubling cascade advances by the next power of
-            # two >= the truncation length (reverse_iir.c:617-619); use the
-            # same advance so output timing matches the C build
-            n2 = 1
-            while n2 < n:
-                n2 <<= 1
+            # the reference's latency per parallel structure is
+            # (1 << N) + fir.n - 1 (reverse_iir.c:617-619) with fir.n the
+            # polynomial-division remainder taps (1 for a biquad's equal
+            # degrees); reproduce the same advance so cross-build output
+            # timing matches exactly
+            fir_n = max(len(b) - len(a), -1) + 1
+            n2 = (1 << n_stages) + fir_n - 1
+            n2 = min(max(n2, 1), MAX_N)
             adv = max(adv, n2)
             irs.append(_reversed_impulse(b, a, min(n2 + 1, MAX_N)))
         maxlen = adv + 1
@@ -146,15 +160,25 @@ class ReverseIirEffect(Effect):
             samples[k] += self.filter_frames - 1
 
     def plot(self, idx, channel_offset=0):
-        self.prepare()
+        """Compact analytic form: the time-reversed filter's response is the
+        conjugate of the forward response — each section contributes
+        (b0 + b1 e^{+jw} + b2 e^{+2jw})/(a0 + a1 e^{+jw} + a2 e^{+2jw})
+        (truncation sits at −(thresh+6) dB, invisible at plot resolution).
+        O(sections) terms, like the reference's cascade product
+        (reverse_iir.c:176-210) — NOT one term per FIR tap."""
         lines = []
-        sel_map = {int(k): i for i, k in enumerate(self.sel_idx)}
         for k in range(self.ostream.channels):
-            if k in sel_map:
-                taps = self.filters[sel_map[k]]
-                adv = self.filter_frames - 1
-                terms = "".join(f"+exp(-j*w*{j})*{taps[j]:.15e}" for j in range(len(taps)) if taps[j] != 0.0)
-                lines.append(f"H{k}_{idx}(w)=(abs(w)<=pi)?exp(j*w*{adv})*(0.0{terms}):0/0")
+            if self.sections[k]:
+                facs = []
+                for b, a, _th in self.sections[k]:
+                    num = "+".join(
+                        f"{b[j]:.15e}*exp(j*w*{j})" for j in range(len(b))
+                    )
+                    den = "+".join(
+                        f"{a[j]:.15e}*exp(j*w*{j})" for j in range(len(a))
+                    )
+                    facs.append(f"(({num})/({den}))")
+                lines.append(f"H{k}_{idx}(w)=" + "*".join(facs))
             else:
                 lines.append(f"H{k}_{idx}(w)=1.0")
         return lines

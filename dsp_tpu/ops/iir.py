@@ -48,6 +48,16 @@ def _affine_combine(a, b):
     return M, v
 
 
+def _df_affine_combine(a, b):
+    """Double-float (hi, lo pairs) version of _affine_combine."""
+    Mah, Mal, vah, val = a
+    Mbh, Mbl, vbh, vbl = b
+    Mph, Mpl = _df_mat2mul(Mbh, Mbl, Mah, Mal)
+    wh, wl = _df_mat2vec(Mbh, Mbl, vah, val)
+    wh, wl = _df_add(wh, wl, vbh, vbl)
+    return Mph, Mpl, wh, wl
+
+
 def biquad_scan(A, Bv, c0, state, x):
     """Run one block of a biquad through an associative scan.
 
@@ -100,15 +110,9 @@ def biquad_scan_df(A, Bv, c0, state, x):
         Mh = jnp.broadcast_to(jnp.asarray(Ah), (B,) + Ah.shape)
         Ml = jnp.broadcast_to(jnp.asarray(Al), (B,) + Al.shape)
 
-        def combine(a, b):
-            Mah, Mal, vah, val = a
-            Mbh, Mbl, vbh, vbl = b
-            Mph, Mpl = _df_mat2mul(Mbh, Mbl, Mah, Mal)
-            wh, wl = _df_mat2vec(Mbh, Mbl, vah, val)
-            wh, wl = _df_add(wh, wl, vbh, vbl)
-            return Mph, Mpl, wh, wl
-
-        Mph, Mpl, vph, vpl = jax.lax.associative_scan(combine, (Mh, Ml, vh, vl), axis=0)
+        Mph, Mpl, vph, vpl = jax.lax.associative_scan(
+            _df_affine_combine, (Mh, Ml, vh, vl), axis=0
+        )
         C = x.shape[1]
         sh, sl = _df_mat2vec(
             Mph, Mpl, jnp.broadcast_to(state[0], (B, C, 2)), jnp.broadcast_to(state[1], (B, C, 2))
@@ -261,11 +265,20 @@ def _split_f64(x):
     return hi, lo
 
 
+# chunk length of the blocked MXU kernels; block sizes must be multiples of
+# this (and >= 2*BLOCKED_L) to take the blocked path (see BiquadEffect.step
+# and chain.CompiledChain._fuse)
+BLOCKED_L = 128
+
+
 def _df_reduce(ph, pl, axis):
     """Double-float pairwise tree reduction along `axis` (power-of-2 length)."""
     ph = jnp.moveaxis(ph, axis, -1)
     pl = jnp.moveaxis(pl, axis, -1)
     n = ph.shape[-1]
+    # the halving loop silently drops elements for non-power-of-2 lengths
+    # (callers must _pad_pow2 first; all current L are powers of two)
+    assert n & (n - 1) == 0, f"_df_reduce needs a power-of-2 length, got {n}"
     while n > 1:
         h = n // 2
         ph, pl = _df_add(ph[..., :h], pl[..., :h], ph[..., h:], pl[..., h:])
@@ -374,7 +387,7 @@ class BiquadBlockedPlan:
     products.
     """
 
-    def __init__(self, c, L=128):
+    def __init__(self, c, L=BLOCKED_L):
         """c: [5, C] normalized biquad coefficients (numpy, float64)."""
         c = np.asarray(c, dtype=np.float64)
         self.L = L
@@ -452,16 +465,8 @@ def _biquad_blocked_impl(plan, state, x):
         ALh = jnp.broadcast_to(jnp.asarray(plan.AL_hi), (Nc, C, 2, 2))
         ALl = jnp.broadcast_to(jnp.asarray(plan.AL_lo), (Nc, C, 2, 2))
 
-        def combine(a, b):
-            Mah, Mal, vah, val = a
-            Mbh, Mbl, vbh, vbl = b
-            Mh, Ml = _df_mat2mul(Mbh, Mbl, Mah, Mal)
-            wh, wl = _df_mat2vec(Mbh, Mbl, vah, val)
-            wh, wl = _df_add(wh, wl, vbh, vbl)
-            return Mh, Ml, wh, wl
-
         Mph, Mpl, vph, vpl = jax.lax.associative_scan(
-            combine, (ALh, ALl, vh, vl), axis=0
+            _df_affine_combine, (ALh, ALl, vh, vl), axis=0
         )
         sh, sl = _df_mat2vec(
             Mph,
@@ -500,12 +505,7 @@ def _biquad_blocked_impl(plan, state, x):
     # carry chain: s_{n+1} = AL s_n + v_n (associative over Nc elements)
     M = jnp.broadcast_to(AL, (Nc,) + AL.shape)
 
-    def combine(a, b):
-        Ma, va = a
-        Mb, vb = b
-        return Mb @ Ma, (Mb @ va[..., None])[..., 0] + vb
-
-    Mp, vp = jax.lax.associative_scan(combine, (M, v), axis=0)
+    Mp, vp = jax.lax.associative_scan(_affine_combine, (M, v), axis=0)
     s_end = (Mp @ s0[None, ..., None])[..., 0] + vp  # state after chunk n
     s_start = jnp.concatenate([s0[None], s_end[:-1]], axis=0)  # [Nc, C, 2]
     y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z
@@ -620,7 +620,7 @@ class CascadeBlockedPlan:
     user-visible chain and plot output stay identical to the reference.
     """
 
-    def __init__(self, cs, L=128):
+    def __init__(self, cs, L=BLOCKED_L):
         """cs: list of [5, C] normalized coefficient arrays, stage order."""
         cs = [np.asarray(c, dtype=np.float64) for c in cs]
         sys = ss_from_biquad(cs[0])
@@ -629,7 +629,7 @@ class CascadeBlockedPlan:
         self._init_from_ss(sys, L)
 
     @classmethod
-    def from_ss(cls, sys, L=128):
+    def from_ss(cls, sys, L=BLOCKED_L):
         """Build a plan from a host state-space dict (see ss_from_biquad)."""
         self = cls.__new__(cls)
         self._init_from_ss(sys, L)
@@ -747,12 +747,7 @@ def _lti_blocked_impl(plan, state, x):
     v = jnp.einsum("cij,njc->nci", V, xc, preferred_element_type=dt)
     M = jnp.broadcast_to(AL, (Nc,) + AL.shape)
 
-    def combine(a, b):
-        Ma, va = a
-        Mb, vb = b
-        return Mb @ Ma, (Mb @ va[..., None])[..., 0] + vb
-
-    Mp, vp = jax.lax.associative_scan(combine, (M, v), axis=0)
+    Mp, vp = jax.lax.associative_scan(_affine_combine, (M, v), axis=0)
     s_end = (Mp @ s0[None, ..., None])[..., 0] + vp
     s_start = jnp.concatenate([s0[None], s_end[:-1]], axis=0)
     y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z

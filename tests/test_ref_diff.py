@@ -133,6 +133,14 @@ REVERSE_CASES = [
     ("reverse_lowpass", ["lowpass", "-r", "1k", "0.7071"]),
     ("reverse_eq_thresh", ["eq", "-r120", "1k", "1.0", "+6"]),
     ("reverse_cascade_merge", ["lowpass", "-r", "2k", "0.7071", "highpass", "-r", "100", "0.7071"]),
+    # stage-count boundary: thresh+6.02 dB law crosses a power of two here —
+    # advance must be 8192 like the C build (RIIR_POLE_MIN_STAGES,
+    # reverse_iir.c:364), not 4096
+    ("reverse_stage_boundary", ["highpass", "-r", "22.5", "0.7071"]),
+    # merged cascade with DIFFERENT per-section thresholds (each section
+    # keeps its own truncation depth, reverse_iir.c:697)
+    ("reverse_mixed_thresh", ["lowpass", "-r40", "1k", "0.7071",
+                              "highpass", "-r120", "30", "0.7071"]),
 ]
 
 
