@@ -44,6 +44,9 @@ class AsyncWriter:
 
     @add_dither.setter
     def add_dither(self, v):
+        # drain first: queued blocks belong to the previous dither decision
+        # (sequence mode changes this between input groups)
+        self.drain()
         self.writer.add_dither = v
 
     @property
@@ -52,6 +55,7 @@ class AsyncWriter:
 
     @dither_mult.setter
     def dither_mult(self, v):
+        self.drain()
         self.writer.dither_mult = v
 
     def _run(self):
@@ -97,6 +101,11 @@ class AsyncWriter:
             for b in drained:
                 self._inflight -= 1
                 self._queued_frames -= len(b)
+            # a block the worker dequeued BEFORE the drain is still in
+            # flight; wait for it so it can't land on the freshly flushed
+            # sink after codec.drop() (stale pre-seek audio)
+            while self._inflight > 0:
+                self._idle.wait(timeout=5.0)
             self._idle.notify_all()
         self.writer.codec.drop()
 

@@ -41,6 +41,7 @@ class _AoSampleFormat(ctypes.Structure):
 
 _ao.ao_open_live.restype = ctypes.c_void_p
 _ao.ao_play.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32]
+_ao.ao_close.argtypes = [ctypes.c_void_p]  # 64-bit handle: avoid int truncation
 
 _initialized = False
 

@@ -118,7 +118,9 @@ def _file_ext(path):
 # register only when their libraries exist — absent on TPU hosts, where the
 # probe falls through to null).
 _READ_FALLBACKS = ["sndfile", "wav", "ffmpeg"]
-_WRITE_FALLBACKS = ["pulse", "alsa", "ao", "null"]
+# device codecs only, like fallback_output_codecs (codec.c:141-151): an
+# unmatched output path must ERROR, not silently discard audio via null
+_WRITE_FALLBACKS = ["pulse", "alsa", "ao"]
 
 
 def init_codec(params: CodecParams) -> Codec:
@@ -131,10 +133,16 @@ def init_codec(params: CodecParams) -> Codec:
             raise CodecError(f"{params.path}: codec {ci.name} does not support {mode_s}")
         return ci.init(params)
     ext = _file_ext(params.path)
+    errors = []
     ci = get_codec_info_by_ext(ext, params.mode)
     if ci is not None:
-        return ci.init(replace(params, type=ci.name))
-    errors = []
+        # an extension-matched codec that fails to open falls through to
+        # the fallback probes (codec.c:202-208): e.g. an MP3 mislabeled
+        # .wav still decodes via sndfile/ffmpeg
+        try:
+            return ci.init(replace(params, type=ci.name))
+        except (CodecError, OSError, ValueError) as e:
+            errors.append(f"{ci.name}: {e}")
     fallbacks = _READ_FALLBACKS if params.mode == CODEC_MODE_READ else _WRITE_FALLBACKS
     for name in fallbacks:
         ci = get_codec_info_by_type(name)
@@ -155,9 +163,6 @@ def print_all_codecs(file=None):
     f = file or sys.stdout
     f.write("Types:\n  Type:    Modes: Encodings:\n")
     for ci in _REGISTRY:
-        modes = ("r" if ci.modes & CODEC_MODE_READ else "") + (
-            "w" if ci.modes & CODEC_MODE_WRITE else ""
-        )
         encs = " ".join(ci.encodings) if ci.encodings else "<autodetected>"
         r = "r" if ci.modes & CODEC_MODE_READ else " "
         w = "w" if ci.modes & CODEC_MODE_WRITE else " "

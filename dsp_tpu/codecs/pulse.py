@@ -53,6 +53,16 @@ _p.pa_simple_new.argtypes = [
     ctypes.POINTER(_SampleSpec), ctypes.c_void_p, ctypes.c_void_p,
     ctypes.POINTER(ctypes.c_int),
 ]
+# every pa_simple_* taking the stream handle needs c_void_p argtypes: the
+# handle comes back as a Python int (c_void_p restype) and ctypes would
+# otherwise truncate it to a 32-bit C int on 64-bit hosts -> segfault
+_p.pa_simple_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                              ctypes.POINTER(ctypes.c_int)]
+_p.pa_simple_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                               ctypes.POINTER(ctypes.c_int)]
+_p.pa_simple_flush.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+_p.pa_simple_drain.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
+_p.pa_simple_free.argtypes = [ctypes.c_void_p]
 _p.pa_simple_get_latency.restype = ctypes.c_uint64
 _p.pa_simple_get_latency.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
 _p.pa_strerror.restype = ctypes.c_char_p

@@ -62,7 +62,15 @@ class SndfileCodec(Codec):
         else:
             fmt = (params.type or "wav").upper()
             if fmt in ("SNDFILE", "SF"):
-                fmt = "WAV"
+                # extension-dispatched write: the container must follow the
+                # file's extension (the reference registers one codec type
+                # per major format, sndfile.c:44-69) — a fixed WAV here
+                # would write RIFF bytes into out.flac
+                i = params.path.rfind(".")
+                ext = params.path[i + 1 :].upper() if i >= 0 else ""
+                alias = {"AIF": "AIFF", "OGA": "OGG", "OPUS": "OGG"}
+                ext = alias.get(ext, ext)
+                fmt = ext if ext in _sf.available_formats() else "WAV"
             subtype = _ENC_TO_SUBTYPE.get(params.enc or "s16", "PCM_16")
             try:
                 self._sf = _sf.SoundFile(

@@ -88,17 +88,21 @@ class WavReader(Codec):
         fmt = None
         data_off = None
         data_size = None
+        pos = 12  # bytes consumed so far (RIFF hdr); tell() raises on pipes
         while True:
             hdr = f.read(8)
             if len(hdr) < 8:
                 break
+            pos += 8
             cid, size = struct.unpack("<4sI", hdr)
             if cid == b"ds64":
                 body = f.read(size)
+                pos += len(body)
                 # riff_size(8) data_size(8) sample_count(8) ...
                 ds64_data_size = struct.unpack("<q", body[8:16])[0]
             elif cid == b"fmt ":
                 body = f.read(size)
+                pos += len(body)
                 fmt = struct.unpack("<HHIIHH", body[:16])
                 if fmt[0] == WAVE_FORMAT_EXTENSIBLE and size >= 40:
                     # base bytes(16) + cbSize(2) + validBits(2) + mask(4), then
@@ -106,13 +110,25 @@ class WavReader(Codec):
                     guid_fmt = struct.unpack("<H", body[24:26])[0]
                     fmt = (guid_fmt,) + fmt[1:]
             elif cid == b"data":
-                data_off = f.tell()
+                data_off = pos
                 data_size = size if size != 0xFFFFFFFF else None
                 if ds64_data_size is not None and size == 0xFFFFFFFF:
                     data_size = ds64_data_size
                 break
             else:
-                f.seek(size + (size & 1), io.SEEK_CUR)
+                skip = size + (size & 1)
+                try:
+                    f.seek(skip, io.SEEK_CUR)
+                except (OSError, io.UnsupportedOperation):
+                    # non-seekable stream (stdin pipe): read and discard —
+                    # ffmpeg-produced WAVs carry LIST/INFO chunks before data
+                    left = skip
+                    while left > 0:
+                        junk = f.read(min(left, 1 << 16))
+                        if not junk:
+                            raise CodecError("wav: truncated chunk")
+                        left -= len(junk)
+                pos += skip
         if fmt is None or data_off is None:
             raise CodecError("wav: missing fmt or data chunk")
         (wformat, channels, fs, _byte_rate, _block_align, bits) = fmt

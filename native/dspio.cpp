@@ -311,7 +311,7 @@ void dspio_reader_close(void *h) { delete (Reader *)h; }
 
 void *dspio_writer_open(const char *path, int enc, int channels) {
     auto *w = new Writer();
-    w->f = fopen(path, "r+b");
+    w->f = fopen(path, "w+b")  /* truncate: stale bytes beyond new data must go */;
     if (!w->f) w->f = fopen(path, "wb");
     if (!w->f) { delete w; return nullptr; }
     w->enc = enc;

@@ -179,3 +179,32 @@ class TestFfmpeg:
             pytest.skip("libdspav not built")
         with pytest.raises(CodecError):
             init_codec(CodecParams("/nonexistent.mp3", type="ffmpeg", mode=CODEC_MODE_READ))
+
+
+class TestDispatchReviewRegressions:
+    def test_unmatched_output_path_errors(self, tmp_path):
+        """An output path no codec matches must ERROR like the reference's
+        device-only fallback list (codec.c:141-151) — pre-fix it silently
+        fell through to null and discarded all audio with exit 0."""
+        from dsp_tpu.codecs import CodecParams, CodecError, init_codec
+        from dsp_tpu.codecs.base import CODEC_MODE_WRITE
+
+        with pytest.raises(CodecError, match="no codec found"):
+            init_codec(CodecParams(str(tmp_path / "output"), mode=CODEC_MODE_WRITE,
+                                   fs=44100, channels=1))
+
+    def test_mislabeled_extension_falls_through(self, tmp_path):
+        """A file whose extension-matched codec fails to open falls through
+        to the read-probe list (codec.c:202-208): raw double pcm named .wav
+        is rejected by the wav parser, then decodable via... nothing here,
+        so the error must LIST the probes tried, not abort at the wav
+        parser."""
+        from dsp_tpu.codecs import CodecParams, CodecError, init_codec
+
+        bad = tmp_path / "notwav.wav"
+        bad.write_bytes(b"\x00" * 256)
+        with pytest.raises(CodecError) as ei:
+            init_codec(CodecParams(str(bad)))
+        # the ext-matched wav error is recorded AND the probes ran after it
+        assert "wav:" in str(ei.value)
+        assert "no codec found" in str(ei.value)
