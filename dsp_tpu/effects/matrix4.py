@@ -265,7 +265,6 @@ def matrix4_config_init(name, istream, selector, argv, is_mb):
 
 
 class Matrix4Effect(Effect):
-    ratio_frames = m4.DOWNSAMPLE_FACTOR
 
     def __init__(self, name, istream, selector, argv):
         cfg = matrix4_config_init(name, istream, selector, argv, is_mb=False)
@@ -320,8 +319,10 @@ class Matrix4Effect(Effect):
         p = self.ev_params
         init_interp = np.zeros(N_INTERP)
         init_interp[0] = init_interp[3] = 1.0  # ll, rr identity-ish startup
-        pf0 = np.exp(1.0 * (self.pf_c1 - self.pf_c0) + self.pf_c0) - 1.0
-        pf1 = np.exp(0.5 * (self.pf_c1 - self.pf_c0) + self.pf_c0) - 1.0
+        # C initializes BOTH interps from phase_flip_pos_rs of the zero
+        # axes = 0.5 (matrix4.c:412-414)
+        pf0 = np.exp(0.5 * (self.pf_c1 - self.pf_c0) + self.pf_c0) - 1.0
+        pf1 = pf0
         init_interp[12], init_interp[13] = pf0, pf1
         init_interp[14] = 1.0  # m_surr_amb
         st = {
@@ -340,8 +341,18 @@ class Matrix4Effect(Effect):
         }
         return st
 
+    def state_for_block(self, B):
+        st = self.state0()
+        # per-block steering display data, threaded through the state so the
+        # host never touches a traced array (read by host_update)
+        st["aux"] = np.zeros((B // m4.DOWNSAMPLE_FACTOR, 4))
+        return st
+
     def signal(self):
-        self._signal_flag = True
+        # the reference only installs the handler when the `signal` option
+        # is given (matrix4.c:396): 's'/SIGUSR2 must not toggle otherwise
+        if self.cfg.enable_signal:
+            self._signal_flag = True
         return None
 
     # --- core block processing ---
@@ -349,7 +360,8 @@ class Matrix4Effect(Effect):
     def step(self, state, x):
         ctl, vals, auxs = self._control(state, x)
         new_state, y = self._audio(state, x, vals, ctl)
-        self._aux = auxs
+        if isinstance(state, dict) and "aux" in state:
+            new_state["aux"] = auxs.astype(state["aux"].dtype)
         return new_state, y
 
     def _control(self, state, x):
@@ -659,10 +671,10 @@ class Matrix4Effect(Effect):
 
             state["disable"] = jnp.logical_not(state["disable"])
             state["fade_p"] = jnp.asarray(self.fade_frames - int(state["fade_p"]), dtype=jnp.int64)
-        if self.cfg.status_type != "none" and hasattr(self, "_aux"):
+        if self.cfg.status_type != "none" and "aux" in state:
             from dsp_tpu.cli import terminal
 
-            aux = np.asarray(self._aux)
+            aux = np.asarray(state["aux"])
             if self._statusline is None:
                 self._statusline = terminal.Statusline()
                 terminal.register(self._statusline)

@@ -146,17 +146,23 @@ class Matrix4MbEffect(Effect):
     # --- state ---
 
     def state_for_block(self, block):
+        from dsp_tpu.ops.iir import BLOCKED_L
+
         st = self.state0()
-        if block % 128 == 0 and block >= 256:
+        if block % BLOCKED_L == 0 and block >= 2 * BLOCKED_L:
             plan = self._bank_plan()
             st["bank"] = {"fused": np.zeros((2, plan.C, plan.n))}
+        # per-band steering display data threaded through the state (read by
+        # host_update; a traced array must never be stored on self)
+        st["aux"] = np.zeros((block // m4.DOWNSAMPLE_FACTOR, N_BANDS, 2))
         return st
 
     def state0(self):
         init_interp = np.zeros((N_BANDS, N_SIG))
         init_interp[:, 0] = init_interp[:, 3] = 1.0
-        pf0 = np.exp(1.0 * (self.pf_c1 - self.pf_c0) + self.pf_c0) - 1.0
-        pf1 = np.exp(0.5 * (self.pf_c1 - self.pf_c0) + self.pf_c0) - 1.0
+        # both interps start from phase_flip_pos_rs(0, 0) = 0.5 (matrix4.c)
+        pf0 = np.exp(0.5 * (self.pf_c1 - self.pf_c0) + self.pf_c0) - 1.0
+        pf1 = pf0
         init_interp[:, 8] = pf0
         init_interp[:, 9] = pf1
         init_interp[:, 10] = 1.0
@@ -233,7 +239,8 @@ class Matrix4MbEffect(Effect):
         return st2, y.reshape(B, N_BANDS, 2)
 
     def signal(self):
-        self._signal_flag = True
+        if self.cfg.enable_signal:  # matrix4_mb.c:686: no handler otherwise
+            self._signal_flag = True
         return None
 
     # --- filter bank on device ---
@@ -553,7 +560,8 @@ class Matrix4MbEffect(Effect):
             "fade_p": jnp.maximum(state["fade_p"] - B, 0),
             "disable": state["disable"],
         }
-        self._aux = ctl["auxs"]
+        if isinstance(state, dict) and "aux" in state:
+            new_state["aux"] = ctl["auxs"].astype(state["aux"].dtype)
         return new_state, y
 
     # --- chain hooks (mirror matrix4) ---
@@ -601,11 +609,11 @@ class Matrix4MbEffect(Effect):
 
             state["disable"] = jnp.logical_not(state["disable"])
             state["fade_p"] = jnp.asarray(self.fade_frames - int(state["fade_p"]), dtype=jnp.int64)
-        if self.cfg.status_type != "none" and hasattr(self, "_aux"):
+        if self.cfg.status_type != "none" and "aux" in state:
             from dsp_tpu.cli import terminal
             from dsp_tpu.effects.matrix4 import draw_steering_bar
 
-            aux = np.asarray(self._aux)[-1]  # [NB, 2]
+            aux = np.asarray(state["aux"])[-1]  # [NB, 2]
             if self._statuslines is None:
                 self._statuslines = [terminal.Statusline() for _ in range(N_BANDS)]
                 for sl in self._statuslines:

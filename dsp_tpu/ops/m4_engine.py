@@ -63,7 +63,11 @@ def ewma_g(fs, tc_ms):
 
 
 def time_to_frames(ms, fs):
-    return int(round(ms / 1000.0 * fs))
+    # lround (half away from zero), NOT Python round (banker's): 22.5 must
+    # become 23 like the C TIME_TO_FRAMES at fs=48000 (matrix4_common.h)
+    import math
+
+    return int(math.floor(ms / 1000.0 * fs + 0.5))
 
 
 def smoothstep(x):
@@ -286,7 +290,7 @@ def make_event_state(p):
         "ord_lp_buf": np.zeros((L, 2)),
         "diff_buf": np.zeros((L, 2)),
         "slope_buf": np.zeros((L, 2)),
-        "ds_ord_buf": np.ones(L),
+        "ds_ord_buf": np.zeros(L),  # calloc'd in C (matrix4_common.c:421)
         "max_buf": np.zeros(L),
         "last": np.zeros(2),
         "slope_last": np.zeros(2),

@@ -169,20 +169,20 @@ EFFECT_CASES = [
     ("delay_thiran_order", 1, MONO_SWEEP, ["delay", "-f12", "0.29m"], None, -120.0),
     ("decorrelate_seeded", 2, STEREO_SPEC, ["decorrelate", "-s", "12345", "4"], "-6", -120.0),
     ("decorrelate_mono_flag", 2, STEREO_SPEC, ["decorrelate", "-m", "-s", "777", "3"], "-6", -120.0),
-    # matrix4: adaptive steering in both builds is f64 here; fronts match to
-    # ~1e-7 but the surround channels accumulate ~5e-6 from envelope-follower
-    # ordering differences (PARITY.md); budget loosened for this case only
-    ("matrix4", 2, STEREO_SPEC, ["matrix4", "-6"], "-10", -100.0),
+    # matrix4 meets the full budget since the event-state init fixes
+    # (ds_ord_buf calloc'd like C, phase-flip pos 0.5, lround frame counts):
+    # measured -245 dBFS on this signal
+    ("matrix4", 2, STEREO_SPEC, ["matrix4", "-6"], "-10", -120.0),
     # option-matrix coverage of the adaptive engine (matrix4_common.c:126-260)
-    ("matrix4_v1", 2, STEREO_SPEC, ["matrix4", "matrix=v1", "-6"], "-10", -100.0),
-    ("matrix4_v2", 2, STEREO_SPEC, ["matrix4", "matrix=v2", "-6"], "-10", -100.0),
-    ("matrix4_srd", 2, STEREO_SPEC, ["matrix4", "surround_delay=20m", "-6"], "-10", -100.0),
+    ("matrix4_v1", 2, STEREO_SPEC, ["matrix4", "matrix=v1", "-6"], "-10", -120.0),
+    ("matrix4_v2", 2, STEREO_SPEC, ["matrix4", "matrix=v2", "-6"], "-10", -120.0),
+    ("matrix4_srd", 2, STEREO_SPEC, ["matrix4", "surround_delay=20m", "-6"], "-10", -120.0),
     ("matrix4_no_shelf_lp", 2, STEREO_SPEC,
-     ["matrix4", "shelf=none,lowpass=none", "-6"], "-10", -100.0),
+     ["matrix4", "shelf=none,lowpass=none", "-6"], "-10", -120.0),
     ("matrix4_no_flip", 2, STEREO_SPEC,
-     ["matrix4", "phase_flip=false", "-6"], "-10", -100.0),
+     ["matrix4", "phase_flip=false", "-6"], "-10", -120.0),
     ("matrix4_direct_path", 2, STEREO_SPEC,
-     ["matrix4", "direct_path,rear_event_mask=0", "-3/0"], "-10", -100.0),
+     ["matrix4", "direct_path,rear_event_mask=0", "-3/0"], "-10", -120.0),
     ("northstar_mix", 2, STEREO_SPEC,
      ["eq", "1k", "1.0", "+3", "eq", "3.5k", "0.8", "-2",
       "lowshelf", "90", "0.7071s", "+4", "highshelf", "10k", "0.7071s", "-2",
