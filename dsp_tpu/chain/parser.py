@@ -70,7 +70,6 @@ def _parse(state, toks, pos, nested, rdepth):
     """Parse tokens from pos; returns position after a block end (or len)."""
     if rdepth > MAX_RDEPTH:
         raise ChainParseError("maximum recursion depth exceeded")
-    prev_effect_tok = None
     while pos < len(toks):
         tok = toks[pos]
         if nested and tok.id == TOK_BLOCK_END:
@@ -178,11 +177,9 @@ def _parse(state, toks, pos, nested, rdepth):
                     state.chain.effects.append(sub)
                     state.stream[0] = sub.ostream
         state.allow_fail = False
-        prev_effect_tok = tok
         pos = argv_end + 1
-    if nested:
-        raise ChainParseError("unterminated block")
-    _ = prev_effect_tok
+    # a nested parse that exhausts the tokens RETURNS len(toks): the parent
+    # emits the located caret error at its '{' (effects_chain.c:518-521)
     return pos
 
 

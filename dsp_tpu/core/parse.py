@@ -27,9 +27,11 @@ class ParseError(ValueError):
 
 
 _FLOAT_RE = re.compile(
+    # hex-float alternative FIRST: regex alternation is ordered, and the
+    # decimal branch would otherwise consume the leading '0' of '0x10'
     r"[ \t\n]*[+-]?(?:"
-    r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
-    r"|0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?(?:[pP][+-]?\d+)?"
+    r"0[xX][0-9a-fA-F]+(?:\.[0-9a-fA-F]*)?(?:[pP][+-]?\d+)?"
+    r"|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
     r"|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?"
     r"|[nN][aA][nN]"
     r")"
@@ -239,18 +241,21 @@ def num_bits_set(b):
 
 
 def construct_full_path(dir_, path, fs, channels):
-    """Path construction with ~/ and %r/%k/%c/%% substitutions (util.c:276-343)."""
+    """Path construction with ~/ and %r/%k/%c/%% substitutions (util.c:276-343).
+
+    The prefix ($HOME or the sourcing directory) is copied VERBATIM like the
+    reference — substitutions apply only within the path argument itself, so
+    a directory named '100%room' survives."""
+    prefix = ""
+    base = path
     if path.startswith("~/"):
         home = os.environ.get("HOME")
         if home:
-            base = home + path[1:]
-        else:
-            base = path[1:]
+            prefix = home
+        base = path[1:]
     elif dir_ is not None and not path.startswith("/"):
-        base = dir_ + "/" + path
-    else:
-        base = path
-    out = []
+        prefix = dir_ + "/"
+    out = [prefix]
     i = 0
     while i < len(base):
         c = base[i]

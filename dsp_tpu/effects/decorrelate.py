@@ -206,7 +206,14 @@ def decorrelate_effect_init(ei, istream, selector, dir_, argv):
         n_stages = v
 
     def rand_delay():
-        return int(round(_GLOBAL_SEED.next() / PM_RAND_MAX * (delay_max - delay_min) + delay_min))
+        # lround like the C (decorrelate.c:145): half away from zero, not
+        # Python's banker's rounding — a .5 tie would change the delay and
+        # thus the whole filter for the same seed
+        import math
+
+        return int(math.floor(
+            _GLOBAL_SEED.next() / PM_RAND_MAX * (delay_max - delay_min) + delay_min + 0.5
+        ))
 
     sel = np.asarray(selector, dtype=bool)
     stage_coeffs = {int(k): [] for k in np.flatnonzero(sel)}

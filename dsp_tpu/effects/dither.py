@@ -12,6 +12,7 @@ application's SHOULD_DITHER policy (dsp.c:46-48,872-879).
 
 import numpy as np
 
+from dsp_tpu.core import log
 from dsp_tpu.core.parse import strtod
 from dsp_tpu.core.prng import PM_RAND_MAX
 from dsp_tpu.effects.base import (
@@ -172,28 +173,42 @@ def dither_effect_init(ei, istream, selector, dir_, argv):
     args = argv[1:]
     if len(args) > 3:
         raise EffectError(f"{name}: usage: {ei.usage}")
-    shape = "flat"
-    noise_bits = None
-    quantize_bits = None
-    shape_arg = None
-    # [shape] [[quantize_bits] bits]
-    if args and _TYPES.get(args[0]) is not None:
-        shape_arg = args[0]
-        args = args[1:]
-    elif args and not _is_number_or_auto(args[0]):
-        raise EffectError(f"{name}: unknown shape: {args[0]}")
-    if shape_arg is not None:
-        fs_req = _TYPES[shape_arg]
-        if fs_req and abs(fs_req - istream.fs) >= fs_req * 0.05:
-            raise EffectError(f"{name}: shape {shape_arg} not available at fs={istream.fs}")
-        shape = shape_arg
-    if len(args) == 2:
-        quantize_bits = args[0]
-        noise_bits = args[1]
-    elif len(args) == 1:
-        noise_bits = args[0]
-    elif len(args) > 2:
+    # slot dispatch mirrors dither.c:299-314: the shape slot is chosen by a
+    # RATE-IGNORANT name lookup; with all three args the first is the shape
+    # slot unconditionally
+    if len(args) > 3:
         raise EffectError(f"{name}: usage: {ei.usage}")
+    shape_word = noise_bits = quantize_bits = None
+    if len(args) == 1:
+        if args[0] in _TYPES:
+            shape_word = args[0]
+        else:
+            noise_bits = args[0]
+    elif len(args) == 2:
+        if args[0] in _TYPES:
+            shape_word = args[0]
+        else:
+            quantize_bits = args[0]
+        noise_bits = args[1]
+    elif len(args) == 3:
+        shape_word, quantize_bits, noise_bits = args
+
+    shape = "flat"
+    if shape_word is not None:
+        fs_req = _TYPES.get(shape_word)
+        if fs_req is not None and (
+            not fs_req or abs(fs_req - istream.fs) < fs_req * 0.05
+        ):
+            shape = shape_word
+        else:
+            # unknown word in the shape slot, or a rate-gated shape at the
+            # wrong fs: the reference WARNS and falls back to sloped
+            # (dither.c:317-323) — existing chains must keep running
+            log.error(
+                "%s: warning: invalid shape for fs=%d: %s",
+                name, istream.fs, shape_word,
+            )
+            shape = "sloped"
 
     noise_auto = noise_bits is None or noise_bits == "auto"
     nb = np.inf
@@ -201,6 +216,9 @@ def dither_effect_init(ei, istream, selector, dir_, argv):
         nb, rest = strtod(noise_bits)
         if rest == noise_bits or rest:
             raise EffectError(f"{name}: failed to parse bits: {noise_bits}")
+        if not np.isfinite(nb):
+            # dither.c:338-342: isfinite check, clean error
+            raise EffectError(f"{name}: bits is invalid: {nb:g}")
     quantize_auto = quantize_bits is None or quantize_bits == "auto"
     qb = 0
     if not quantize_auto:

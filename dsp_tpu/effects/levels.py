@@ -97,6 +97,10 @@ class LevelsEffect(Effect):
                 terminal.register(sl)
         avg = np.asarray(state["avg"])
         bp = np.asarray(state["block_peak"])
+        # the reference zeroes block_peak after every render (levels.c:84):
+        # without the reset the peak readout is a lifetime max and never
+        # falls back to the decaying set-min EWMA
+        state["block_peak"] = np.zeros_like(bp)
         n_ch = self.istream.channels
         with np.errstate(divide="ignore"):
             for i, k in enumerate(self.sel_idx):

@@ -280,8 +280,70 @@ class StatsEffect(Effect):
         new["samples"] = jnp.minimum(s["samples"] + B, s["limit"])
         return new, x
 
+    def _host_flush_interp(self, s):
+        """The reference's end-of-stream interpolator drain
+        (stats_effect_destroy, stats.c:219-236): STATS_INTERP_DELAY
+        zero-fed iterations evaluate the samples still inside the lookahead
+        ring and filter pipeline — without it, true peaks in the final ~18
+        samples are missed. Pure numpy on the final (host) state."""
+        H = _INSERT_H[:, None]
+        c0, c1, c2 = (float(_R_COEFS[0]), float(_R_COEFS[1]), float(_R_COEFS[2]))
+        M, y, z = s["m"].copy(), s["y"].copy(), s["z"].copy()
+        nc = s["nctr"].copy()
+        tmin, tmax = s["tmin"].copy(), s["tmax"].copy()
+        mn, mx, pk = s["min"].copy(), s["max"].copy(), s["peak"].copy()
+        cnt, frm = s["peak_count"].copy(), s["peak_frame"].copy()
+        t0 = int(s["limit"])
+        nch = z.shape[1]
+        n4 = np.zeros((4, nch))
+        for i in range(STATS_INTERP_DELAY):
+            t = t0 + i
+            do = nc > 0
+            x = z[0]
+            y_ins = np.stack(
+                [y[4], y[5], M[0] + c0 * x, M[1] + c1 * x, M[2] + c2 * x, M[3]]
+            )
+            yn = np.where(do, y_ins, y)
+            M_ins = np.concatenate([M[4:], n4], axis=0) + x[None, :] * H
+            Mn = np.where(do, M_ins, M)
+            r = np.zeros(nch, dtype=np.int64)
+            for j in range(1, 5):
+                d0 = yn[j] - yn[j - 1]
+                d1 = yn[j] - yn[j + 1]
+                skip = (
+                    ((d0 > 0) & (d1 < 0))
+                    | ((d0 < 0) & (d1 > 0))
+                    | ((d0 == 0) & (d1 == 0))
+                )
+                use = do & ~skip
+                dy = yn[j - 1] - yn[j + 1]
+                den = yn[j - 1] - 2.0 * yn[j] + yn[j + 1]
+                p4 = dy / (8.0 * np.where(den == 0, 1.0, den))
+                yq = yn[j] - dy * p4
+                is_min = use & (yq <= mn)
+                is_max = use & ~is_min & (yq >= mx)
+                mn = np.where(is_min, yq, mn)
+                tmin = np.where(is_min, 0.5 * yq, tmin)
+                mx = np.where(is_max, yq, mx)
+                tmax = np.where(is_max, 0.5 * yq, tmax)
+                ev = is_min | is_max
+                ayq = np.abs(yq)
+                gt = ev & (ayq > pk)
+                eq = ev & (ayq > 0) & (ayq == pk)
+                pk = np.where(gt, ayq, pk)
+                r = np.where(gt, 2, np.where(eq, 1, r))
+            frm = np.where(r == 2, t - (STATS_INTERP_DELAY - 1), frm)
+            cnt = np.where(r == 2, 1, np.where(r == 1, cnt + 1, cnt))
+            nc = np.where(do, nc - 1, nc)
+            z = np.concatenate([z[1:], np.zeros((1, nch))], axis=0)
+            M, y = Mn, yn
+        s["min"], s["max"], s["peak"] = mn, mx, pk
+        s["peak_count"], s["peak_frame"] = cnt, frm
+
     def host_finish(self, state):
         s = {k: np.asarray(v) for k, v in state.items()}
+        if self.interp:
+            self._host_flush_interp(s)
         self._final = s
         n = len(self.sel_idx)
         samples = int(s["samples"])
@@ -311,7 +373,9 @@ class StatsEffect(Effect):
         rows.append(("RMS level (dBFS)", [f"{db(rms[i]):12.4f}" for i in range(n)]))
         if self.ref is not None:
             rows.append(("RMS level (dBr)", [f"{self.ref + db(rms[i]):12.4f}" for i in range(n)]))
-        rows.append(("Crest factor (dB)", [f"{db(s['peak'][i] / rms[i]):12.4f}" for i in range(n)]))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            crest = [s["peak"][i] / rms[i] for i in range(n)]
+        rows.append(("Crest factor (dB)", [f"{db(crest[i]):12.4f}" for i in range(n)]))
         rows.append(("Peak count", [f"{int(s['peak_count'][i]):12d}" for i in range(n)]))
         rows.append(("Peak sample", [f"{int(s['peak_frame'][i]):12d}" for i in range(n)]))
         rows.append(("Samples", [f"{samples:12d}" for _ in range(n)]))
@@ -345,14 +409,16 @@ def stats_effect_init(ei, istream, selector, dir_, argv):
                 width = v
         elif opt == "i":
             interp = True
-    args = args[ind:]
     ref = None
-    if len(args) == 1:
+    if ind == len(args) - 1:
+        # the reference parses argv[1] — the FIRST argument, even when it is
+        # an option — as ref_level (stats.c:283-285), so `stats -i 3` fails
+        # there; reproduce the quirk for behavior parity
         v, rest = strtod(args[0])
         if rest == args[0] or rest:
             raise EffectError(f"{name}: failed to parse ref_level: {args[0]}")
         ref = v  # printed as ref + dBFS (stats.c:186-188)
-    elif len(args) > 1:
+    elif ind != len(args):
         raise EffectError(f"{name}: usage: {ei.usage}")
     return StatsEffect(name, istream, selector, ref, width, interp)
 

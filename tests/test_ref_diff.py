@@ -243,6 +243,10 @@ STATS_CASES = [
     ("stats_sweep_ref_level", 1, MONO_SWEEP, ["stats", "6"]),
     ("stats_truepeak", 1, MONO_TONE, ["stats", "-i"]),
     ("stats_stereo", 2, STEREO_SPEC, ["gain", "-8", "crossfeed", "700", "4.5", "stats"]),
+    # true peak inside the final lookahead window: exercises the
+    # end-of-stream interpolator flush (stats_effect_destroy, stats.c:219)
+    ("stats_end_peak", 1, "delta:offset=510S+0.0117", ["gain", "-0.2", "stats", "-i"]),
+    ("stats_silence", 1, "delta:offset=0S+0.01", ["gain", "-200", "stats"]),
 ]
 
 
