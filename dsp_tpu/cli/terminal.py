@@ -36,7 +36,8 @@ def is_tty():
 
 def term_width(default=80):
     try:
-        return os.get_terminal_size(sys.stderr.fileno()).columns
+        w = os.get_terminal_size(sys.stderr.fileno()).columns
+        return w if w > 0 else default  # fresh ptys report 0x0
     except Exception:
         return default
 
@@ -75,24 +76,32 @@ def disable():
 
 
 def _clear():
+    # runs as the log pre-hook on WHATEVER thread logs (readbuf worker,
+    # writer thread): must hold the lock like statuslines_clear
+    # (dsp.c:185-195); _lock is an RLock so update() can nest safely
     global _drawn_lines
-    if not _active or _drawn_lines == 0:
-        return
-    out = "\r\033[K"
-    if _drawn_lines > 1:
-        out += f"\033[{_drawn_lines - 1}A" + "\033[J" * 0
-        out = "\r" + f"\033[{_drawn_lines - 1}A" + "\033[J"
-    sys.stderr.write(out)
-    _drawn_lines = 0
+    with _lock:
+        if not _active or _drawn_lines == 0:
+            return
+        if _drawn_lines > 1:
+            out = "\r" + f"\033[{_drawn_lines - 1}A" + "\033[J"
+        else:
+            out = "\r\033[K"
+        sys.stderr.write(out)
+        _drawn_lines = 0
 
 
 def _redraw():
     global _drawn_lines
-    if not _active:
-        return
     with _lock:
+        if not _active:
+            return
+        # truncate to the terminal width (trunc_line, dsp.c:199-225): a
+        # wrapped physical line would make _drawn_lines undercount and the
+        # next _clear would leave stale rows behind
+        w = term_width()
         rows = [_progress] + [sl.text for sl in _lines]
-        rows = [r for r in rows if r]
+        rows = [r[: max(w - 1, 1)] for r in rows if r]
         if not rows:
             return
         sys.stderr.write("\n".join(rows) + "\r")

@@ -124,15 +124,25 @@ class AlsaCodec(Codec):
         )
         _ck(_a.snd_pcm_hw_params(pcm, hw), "hw_params")
         self._can_pause = bool(_a.snd_pcm_hw_params_can_pause(hw))
-        sw = ctypes.create_string_buffer(_a.snd_pcm_sw_params_sizeof())
-        _ck(_a.snd_pcm_sw_params_current(pcm, sw), "sw_params_current")
-        _ck(
-            _a.snd_pcm_sw_params_set_start_threshold(
-                pcm, sw, ctypes.c_ulong(2 * params.block_frames)
-            ),
-            "start_threshold",
-        )
-        _ck(_a.snd_pcm_sw_params(pcm, sw), "sw_params")
+        if params.mode & CODEC_MODE_WRITE:
+            # sw params ONLY for playback, with the threshold clamped to the
+            # actual device buffer (alsa.c:285-295) — applied to capture, a
+            # 2-block start threshold would keep snd_pcm_readi of one block
+            # from ever auto-starting the stream
+            buf_frames = ctypes.c_ulong(0)
+            _a.snd_pcm_hw_params_get_buffer_size(hw, ctypes.byref(buf_frames))
+            thresh = 2 * params.block_frames
+            if buf_frames.value:
+                thresh = min(thresh, int(buf_frames.value))
+            sw = ctypes.create_string_buffer(_a.snd_pcm_sw_params_sizeof())
+            _ck(_a.snd_pcm_sw_params_current(pcm, sw), "sw_params_current")
+            _ck(
+                _a.snd_pcm_sw_params_set_start_threshold(
+                    pcm, sw, ctypes.c_ulong(thresh)
+                ),
+                "start_threshold",
+            )
+            _ck(_a.snd_pcm_sw_params(pcm, sw), "sw_params")
         from dsp_tpu.codecs.sampleconv import encoding_info as _ei
 
         self._frame_bytes = _ei(enc)[0] * params.channels
@@ -143,10 +153,13 @@ class AlsaCodec(Codec):
         if err == -_EPIPE:
             return _a.snd_pcm_prepare(self._pcm)
         if err == -_ESTRPIPE:
+            import time as _time
+
             while True:
                 r = _a.snd_pcm_resume(self._pcm)
                 if r != -11:  # -EAGAIN
                     break
+                _time.sleep(1.0)  # canonical ALSA recovery cadence, no busy-spin
             if r < 0:
                 return _a.snd_pcm_prepare(self._pcm)
             return r
@@ -189,17 +202,30 @@ class AlsaCodec(Codec):
         return done
 
     def delay(self):
+        # while paused, report the cached pre-pause delay (alsa.c:131-139)
+        if getattr(self, "_paused", False):
+            return getattr(self, "_delay_cache", 0)
         d = ctypes.c_long(0)
         if _a.snd_pcm_delay(self._pcm, ctypes.byref(d)) < 0:
             return 0
-        return int(d.value)
+        self._delay_cache = int(d.value)
+        return self._delay_cache
 
     def pause(self, p):
+        # cache the delay at pause time (alsa.c:150-169); without hw pause,
+        # playback DRAINS (buffered audio plays out) and capture drops
+        d = ctypes.c_long(0)
+        if _a.snd_pcm_delay(self._pcm, ctypes.byref(d)) >= 0:
+            self._delay_cache = int(d.value)
         if self._can_pause:
             _a.snd_pcm_pause(self._pcm, 1 if p else 0)
-        elif p:
-            _a.snd_pcm_drop(self._pcm)
+        elif p and not getattr(self, "_paused", False):
+            if self._mode & CODEC_MODE_WRITE:
+                _a.snd_pcm_drain(self._pcm)
+            else:
+                _a.snd_pcm_drop(self._pcm)
             _a.snd_pcm_prepare(self._pcm)
+        self._paused = bool(p)
 
     def drop(self):
         _a.snd_pcm_drop(self._pcm)

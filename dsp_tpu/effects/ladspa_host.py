@@ -108,16 +108,22 @@ def _default_for_hint(h, fs):
     return 0.0
 
 
-def _find_module(path):
-    if "/" in path or os.path.isabs(path):
-        return path
-    search = os.environ.get("LADSPA_PATH", "/usr/lib/ladspa:/usr/local/lib/ladspa")
-    for d in search.split(":"):
-        if d:
-            cand = os.path.join(d, path)
-            if os.path.exists(cand):
-                return cand
-    return path
+def _module_candidates(path, dir_, fs, nch):
+    """Candidate paths to dlopen (ladspa_host.c:171-221): './'/'~/' paths
+    resolve via construct_full_path relative to the sourcing effects file;
+    otherwise the basename gets '.so' appended when missing and every
+    LADSPA_PATH directory is tried (default /usr/local/lib/ladspa:
+    /usr/lib/ladspa, in that order)."""
+    from dsp_tpu.core.parse import construct_full_path
+
+    if path[:2] in ("./", "~/"):
+        return [construct_full_path(dir_, path, fs, nch)]
+    if os.path.isabs(path):
+        return [path]
+    if ".so" not in os.path.basename(path):
+        path = path + ".so"
+    search = os.environ.get("LADSPA_PATH") or "/usr/local/lib/ladspa:/usr/lib/ladspa"
+    return [os.path.join(d, path) for d in search.split(":") if d]
 
 
 class _Instance:
@@ -147,14 +153,17 @@ class LadspaHostEffect(Effect):
         self.name = name
         self.istream = istream
         self.channel_selector = np.asarray(selector, dtype=bool).copy()
-        path = module_path
-        if path.startswith("~/"):
-            path = os.path.expanduser(path)
-        path = _find_module(path)
-        try:
-            self.lib = ctypes.CDLL(path)
-        except OSError as e:
-            raise EffectError(f"{name}: failed to load module: {e}")
+        n_sel_pre = num_bits_set(np.asarray(selector, dtype=bool))
+        self.lib = None
+        last_err = None
+        for cand in _module_candidates(module_path, dir_, istream.fs, n_sel_pre):
+            try:
+                self.lib = ctypes.CDLL(cand)
+                break
+            except OSError as e:
+                last_err = e
+        if self.lib is None:
+            raise EffectError(f"{name}: failed to load module: {last_err}")
         getter = self.lib.ladspa_descriptor
         getter.restype = ctypes.POINTER(Descriptor)
         getter.argtypes = [ctypes.c_ulong]
@@ -196,9 +205,16 @@ class LadspaHostEffect(Effect):
         out_per_inst = len(self.audio_out)
         n_out_total = out_per_inst * n_inst
         extra = n_out_total - n_sel
-        self.ostream = StreamInfo(fs, istream.channels + max(extra, 0))
+        # the output stream SHRINKS when the plugin has fewer audio outputs
+        # than selected inputs (ladspa_host.c:301: in_ch + n_out - n_in)
+        self.ostream = StreamInfo(fs, istream.channels + extra)
         self.flags = 0
-        # control values
+        # control values (validation mirrors ladspa_host.c:304, 340-354)
+        if len(controls) > len(self.control_in):
+            raise EffectError(
+                f"{name}: plugin expects {len(self.control_in)} controls, "
+                f"got {len(controls)}"
+            )
         self.ctrl_values = []
         for ci, p in enumerate(self.control_in):
             hint = desc.PortRangeHints[p]
@@ -207,7 +223,19 @@ class LadspaHostEffect(Effect):
                 if rest == controls[ci] or rest:
                     raise EffectError(f"{name}: failed to parse control: {controls[ci]}")
             else:
+                if not (hint.HintDescriptor & HINT_DEFAULT_MASK):
+                    pn = desc.PortNames[p].decode() if desc.PortNames[p] else str(p)
+                    raise EffectError(
+                        f"{name}: control \"{pn}\" has no default value and is not set"
+                    )
                 v = _default_for_hint(hint, fs)
+            if hint.HintDescriptor & HINT_INTEGER:
+                v = float(np.round(v))
+            sr = fs if hint.HintDescriptor & HINT_SAMPLE_RATE else 1.0
+            if hint.HintDescriptor & HINT_BOUNDED_BELOW and v < hint.LowerBound * sr:
+                raise EffectError(f"{name}: control value out of range: {v:g}")
+            if hint.HintDescriptor & HINT_BOUNDED_ABOVE and v > hint.UpperBound * sr:
+                raise EffectError(f"{name}: control value out of range: {v:g}")
             self.ctrl_values.append(np.float32(v))
             log.verbose(
                 "%s: info: control port %s = %g", name,
@@ -255,37 +283,60 @@ class LadspaHostEffect(Effect):
     def step(self, state, x):
         import jax
         import jax.numpy as jnp
+        from jax.experimental import io_callback
 
         B, C = x.shape
         n_sel = len(self.sel_idx)
         n_out_total = len(self.audio_out) * len(self.instances)
         xs = x[:, self.sel_idx].astype(jnp.float32)
-        out = jax.pure_callback(
+        # io_callback(ordered=True), not pure_callback: the plugin call
+        # mutates host-side plugin state, so XLA must never elide,
+        # deduplicate, or replay it
+        out = io_callback(
             self._run_host,
             jax.ShapeDtypeStruct((B, n_out_total), np.float32),
             xs,
-            vmap_method="sequential",
+            ordered=True,
         ).astype(x.dtype)
-        # first n_sel outputs replace the selected channels; extras appended
-        y = x
-        for i, k in enumerate(self.sel_idx[: min(n_sel, n_out_total)]):
-            y = y.at[:, int(k)].set(out[:, i])
-        extras = [out[:, i] for i in range(n_sel, n_out_total)]
-        if extras:
-            y = jnp.concatenate([y] + [e[:, None] for e in extras], axis=1)
-        return state, y
+        # successive plugin outputs land at the selected channel positions;
+        # surplus selected channels are DROPPED when the plugin has fewer
+        # outputs, extra outputs are appended (ladspa_host.c:66-92)
+        sel_rank = {int(k): i for i, k in enumerate(self.sel_idx)}
+        cols = []
+        for k in range(C):
+            if k in sel_rank:
+                pos = sel_rank[k]
+                if pos < n_out_total:
+                    cols.append(out[:, pos])
+                # else: dropped (shrinking plugin)
+            else:
+                cols.append(x[:, k])
+        for i in range(n_sel, n_out_total):
+            cols.append(out[:, i])
+        return state, jnp.stack(cols, axis=1)
 
     def channel_deps(self):
-        n_in, n_out = self.istream.channels, self.ostream.channels
+        n_in = self.istream.channels
+        n_out = self.ostream.channels
+        n_sel = len(self.sel_idx)
+        n_out_total = len(self.audio_out) * len(self.instances)
+        sel_rank = {int(k): i for i, k in enumerate(self.sel_idx)}
         deps = np.zeros((n_out, n_in), dtype=bool)
-        for i in range(min(n_in, n_out)):
-            deps[i, i] = True
-        if not self.multi:
-            for a in self.sel_idx:
-                for b in self.sel_idx:
-                    deps[int(a), int(b)] = True
-        for i in range(n_in, n_out):
-            deps[i, self.sel_idx] = True
+        o = 0
+        for k in range(n_in):
+            if k in sel_rank:
+                if sel_rank[k] < n_out_total:
+                    if self.multi:
+                        deps[o, k] = True  # per-channel instance
+                    else:
+                        deps[o, self.sel_idx] = True
+                    o += 1
+            else:
+                deps[o, k] = True
+                o += 1
+        for _ in range(n_sel, n_out_total):
+            deps[o, self.sel_idx] = True
+            o += 1
         return deps
 
 
