@@ -414,6 +414,20 @@ def build_chain_from_file(path, stream, mask=None, dir_=None, enforce_eof_marker
 # ---------------------------------------------------------------------------
 
 
+def expected_out_frames(chain, n_in, drain=True):
+    """THE output-length law, shared by every runner (process_array,
+    process_batch, run_offline, the streaming flush): ceil(n_in * ratio)
+    plus the chain's OUTPUT-rate drain when draining — the emergent total
+    of the reference's run + drain accounting (ratio_mult_ceil at each
+    rate change; ceil(N*n/d) exactly for a pure resample chain,
+    resample.c:163-188). Pre-discard frames."""
+    r = chain.ratio
+    out = -(-n_in * r.numerator // r.denominator)
+    if drain:
+        out += chain.drain_out_frames
+    return out
+
+
 def block_quantum_for(effects):
     """Input-block quantum for a list of effects: the block size must keep
     every intermediate frame count integral (static shapes) and be a
@@ -714,15 +728,8 @@ class CompiledChain:
         total = n_in + pad
         self.set_valid_frames(total)
         B = self.block_frames
-        rr = self.chain.ratio
-        # output length law: ceil(n_in * ratio) + the drain expressed at the
-        # OUTPUT rate — the emergent total of the reference's run + drain
-        # accounting (ratio_mult_ceil in drains; for a pure resample chain
-        # this is exactly ceil(N*n/d), resample.c:163-188)
-        out_valid = -(-n_in * rr.numerator // rr.denominator)
-        if drain:
-            out_valid += self.chain.drain_out_frames
-        b_out = int(B * rr)
+        out_valid = expected_out_frames(self.chain, n_in, drain)
+        b_out = int(B * self.chain.ratio)
         n_blocks = max(1, -(-total // B), -(-out_valid // b_out))
         xp = np.zeros((n_blocks * B, x.shape[1]), dtype=np.float64)
         xp[:n_in] = x
@@ -752,11 +759,8 @@ class CompiledChain:
         pad = self.chain.drain_frames if drain else 0
         total = n_in + pad
         B = self.block_frames
-        rr = self.chain.ratio
-        out_valid = -(-n_in * rr.numerator // rr.denominator)
-        if drain:
-            out_valid += self.chain.drain_out_frames
-        b_out = int(B * rr)
+        out_valid = expected_out_frames(self.chain, n_in, drain)
+        b_out = int(B * self.chain.ratio)
         n_blocks = max(1, -(-total // B), -(-out_valid // b_out))
         flat = np.zeros((S, n_blocks * B, c_in), dtype=np.float64)
         flat[:, :n_in] = xs

@@ -144,6 +144,7 @@ class StreamLoop:
         self._last_progress = 0.0
         self._keys = None
         self.rb = None  # ReadBuffer (set by run_interactive)
+        self.fed_frames = 0  # real input frames fed since the last reset
         self._build_chain()
 
     def _build_chain(self):
@@ -152,6 +153,7 @@ class StreamLoop:
         warm_d2h_async()  # interactive mode always fetches audio
         self.chain = build_chain_from_args(self.chain_args, self.stream)
         self.cc = CompiledChain(self.chain, block_frames=self.state.block_frames)
+        self.fed_frames = 0
         self.discard_left = self.chain.output_discard
         self._apply_dither()
 
@@ -188,12 +190,17 @@ class StreamLoop:
                 B = old_cc.block_frames
                 n = old_chain.drain_frames
                 pad = -(-n // B) * B
+                # trim in OUTPUT frames: the drain budget is
+                # drain_out_frames at the output rate (input-frame counts
+                # would mis-trim rate-changing chains)
+                out_budget = old_chain.drain_out_frames
                 zeros = np.zeros((pad, self.stream.channels))
                 for i in range(0, pad, B):
                     y = np.asarray(old_cc.run_block(zeros[i : i + B]), dtype=np.float64)
-                    keep = min(max(n - i, 0), len(y))
+                    keep = min(out_budget, len(y))
                     if keep > 0:
                         self.writer.write(y[:keep])
+                        out_budget -= keep
         self.chain = new_chain
         self.cc = new_cc
         self.discard_left = new_chain.output_discard
@@ -332,6 +339,7 @@ class StreamLoop:
         got = self.rb.seek(target) if self.rb is not None else inp.codec.seek(target)
         if got >= 0:
             self.cc.reset()
+            self.fed_frames = 0
             self.discard_left = self.chain.output_discard
             self.xfade = None
             self.carry_stale = True  # drop the B-alignment carry (pre-seek audio)
@@ -397,15 +405,18 @@ def run_interactive(state, chain_args, stream, writer, out_codec, enable_ui=True
         change (ratio_mult_ceil, effects_chain.c:1186-1218, resample.c
         drain2). Without the trim, the B-alignment zero padding would
         append spurious output frames."""
+        from dsp_tpu.chain.chain import expected_out_frames
+
         Bq = loop.cc.block_frames
         total = len(carry) + drain_n
         if total == 0:
             return
-        r = loop.chain.ratio
-        expect = -(-len(carry) * r.numerator // r.denominator)
-        if drain_n:
-            expect += loop.chain.drain_out_frames
-        b_out = int(Bq * r)
+        # stop measurement effects (stats) at the true stream end so the
+        # B-alignment zero padding never enters their accumulators (the
+        # run_offline path does the same via set_valid_frames)
+        loop.cc.set_valid_frames(loop.fed_frames + total)
+        expect = expected_out_frames(loop.chain, len(carry), drain=bool(drain_n))
+        b_out = int(Bq * loop.chain.ratio)
         n_blocks = max(-(-total // Bq), -(-expect // b_out)) if expect else -(-total // Bq)
         padded = np.concatenate(
             [carry, np.zeros((n_blocks * Bq - len(carry), stream.channels))], axis=0
@@ -456,6 +467,7 @@ def run_interactive(state, chain_args, stream, writer, out_codec, enable_ui=True
                 if len(carry) >= B:
                     block = carry[:B]
                     carry = carry[B:]
+                    loop.fed_frames += B
                     y = loop.process_block(block)
                     writer.write(y)
                     loop.update_progress(inp, pos)
@@ -485,6 +497,21 @@ def run_interactive(state, chain_args, stream, writer, out_codec, enable_ui=True
                     loop.stream = stream
                     loop._build_chain()
                     B = loop.cc.block_frames  # quantization may differ
+                    if (
+                        writer.codec.fs != loop.chain.ostream.fs
+                        or writer.codec.channels != loop.chain.ostream.channels
+                    ):
+                        # REOPEN_OUTPUT (dsp.c:1448-1452): the old codec
+                        # cannot take the new format; drain, close, reopen
+                        from dsp_tpu.cli.main import _reopen_output
+
+                        log.info("info: reopening output for new stream format")
+                        writer.drain()
+                        writer.codec.close()
+                        new_out = _reopen_output(state, loop.chain)
+                        writer.codec = new_out
+                        loop.out_codec = new_out
+                        loop._apply_dither()
         # final flush + drain with exact output-length accounting
         drain_n = (
             loop.chain.drain_frames

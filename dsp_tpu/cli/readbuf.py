@@ -91,6 +91,9 @@ class ReadBuffer:
             with self._mu:
                 self.error = self.error or e
                 self._stop = True
+                self._consumer_eof = True  # read() returns empty AND
+                # end_of_input() is True, so the consumer exits instead of
+                # spinning on empty reads
                 for _, _, done in self._commands:
                     if done is not None:
                         done.set()

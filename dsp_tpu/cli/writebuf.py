@@ -103,9 +103,13 @@ class AsyncWriter:
                 self._queued_frames -= len(b)
             # a block the worker dequeued BEFORE the drain is still in
             # flight; wait for it so it can't land on the freshly flushed
-            # sink after codec.drop() (stale pre-seek audio)
-            while self._inflight > 0:
-                self._idle.wait(timeout=5.0)
+            # sink after codec.drop() (stale pre-seek audio). Bounded: a
+            # sink stalled mid-write (hung device) must not hang the event
+            # loop — after ~5 s give up (one stale block beats a freeze)
+            deadline = 10
+            while self._inflight > 0 and deadline > 0:
+                self._idle.wait(timeout=0.5)
+                deadline -= 1
             self._idle.notify_all()
         self.writer.codec.drop()
 

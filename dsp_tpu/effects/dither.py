@@ -176,8 +176,6 @@ def dither_effect_init(ei, istream, selector, dir_, argv):
     # slot dispatch mirrors dither.c:299-314: the shape slot is chosen by a
     # RATE-IGNORANT name lookup; with all three args the first is the shape
     # slot unconditionally
-    if len(args) > 3:
-        raise EffectError(f"{name}: usage: {ei.usage}")
     shape_word = noise_bits = quantize_bits = None
     if len(args) == 1:
         if args[0] in _TYPES:

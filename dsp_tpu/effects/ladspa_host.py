@@ -123,7 +123,9 @@ def _module_candidates(path, dir_, fs, nch):
     if ".so" not in os.path.basename(path):
         path = path + ".so"
     search = os.environ.get("LADSPA_PATH") or "/usr/local/lib/ladspa:/usr/lib/ladspa"
-    return [os.path.join(d, path) for d in search.split(":") if d]
+    # every candidate goes through construct_full_path so %r/%k/%c
+    # substitution applies to search-path modules too (ladspa_host.c:208)
+    return [construct_full_path(d, path, fs, nch) for d in search.split(":") if d]
 
 
 class _Instance:

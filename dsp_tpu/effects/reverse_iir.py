@@ -125,7 +125,7 @@ class ReverseIirEffect(Effect):
         for i, ir in enumerate(irs):
             self.filters[i, maxlen - len(ir) :] = ir
         self.filter_frames = maxlen
-        log.verbose("%s: info: reverse_iir length %d (thresh %g dB)", self.name, maxlen, self.thresh)
+        log.verbose("%s: info: reverse_iir length %d", self.name, maxlen)
         self._engines = {}
 
     def _engine(self, B):

@@ -293,7 +293,10 @@ class StatsEffect(Effect):
         tmin, tmax = s["tmin"].copy(), s["tmax"].copy()
         mn, mx, pk = s["min"].copy(), s["max"].copy(), s["peak"].copy()
         cnt, frm = s["peak_count"].copy(), s["peak_frame"].copy()
-        t0 = int(s["limit"])
+        # the true end-of-stream index: "samples" (the reference uses
+        # state->samples, stats.c:219) — "limit" is the 1<<62 sentinel when
+        # set_valid_frames was never called (interactive runs)
+        t0 = int(s["samples"])
         nch = z.shape[1]
         n4 = np.zeros((4, nch))
         for i in range(STATS_INTERP_DELAY):

@@ -255,3 +255,30 @@ def test_watch_exports_subchain_block_quantum(tmp_path, noise):
     r = chain.ratio
     assert len(y) == -(-len(x) * r.numerator // r.denominator) + chain.drain_out_frames - chain.output_discard
     assert np.isfinite(y).all()
+
+
+def test_streaming_loop_stats_exclude_padding(tmp_path):
+    """The streaming loop's final flush must stop measurement effects at the
+    true stream end (set_valid_frames): stats through a watch chain on a
+    non-block-multiple input must print the same table as the offline path
+    (pre-fix the zero padding entered Samples/DC/RMS)."""
+    import re
+    import subprocess
+    import sys
+
+    sub = tmp_path / "sub.txt"
+    sub.write_text("gain -1\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run(args):
+        r = subprocess.run([sys.executable, "-m", "dsp_tpu.cli.main"] + args,
+                           env=env, capture_output=True, text=True, timeout=110)
+        assert r.returncode == 0, r.stderr
+        m = re.search(r"Channel.*?Length \(s\)[^\n]*", r.stderr, re.S)
+        assert m, r.stderr
+        return m.group(0)
+
+    base = ["-q", "-t", "sgen", "sine:freq=997+0.233", "-o", "-n"]
+    t_stream = run(base + ["watch", str(sub), "stats"])
+    t_offline = run(base + ["gain", "-1", "stats"])
+    assert t_stream == t_offline
