@@ -369,149 +369,6 @@ def _coupled_form_ss(c):
     return A, Bv
 
 
-class BiquadBlockedPlan:
-    """Chunked biquad evaluation mapping onto the MXU.
-
-    For s[n] = A s[n-1] + Bv x[n], y[n] = c0 x[n] + s[n-1][0], a chunk of L
-    samples satisfies
-
-        y = c0 * x + P @ s_carry + W @ x          (within-chunk, exact)
-        s_carry' = A^L @ s_carry + V @ x
-
-    with W a lower-triangular Toeplitz of w[k] = e0 A^k Bv, P[i] = e0 A^i,
-    V[:, j] = A^(L-1-j) Bv — all precomputed on the host in float64, so the
-    only sequential dependence left is the tiny [2]-state carry chain over
-    N/L chunks. The [L, L] matmul batches across chunks and channels and
-    rides the MXU; float32 accuracy is far better than an in-graph
-    associative scan because the matrix powers never round-trip through f32
-    products.
-    """
-
-    def __init__(self, c, L=BLOCKED_L):
-        """c: [5, C] normalized biquad coefficients (numpy, float64)."""
-        c = np.asarray(c, dtype=np.float64)
-        self.L = L
-        C = c.shape[1]
-        self.C = C
-        c0, c1, c2, c3, c4 = c
-        A, Bv = _coupled_form_ss(c)
-        # powers A^0..A^L
-        pows = np.zeros((L + 1, C, 2, 2))
-        pows[0] = np.eye(2)[None]
-        for k in range(1, L + 1):
-            pows[k] = np.einsum("cij,cjk->cik", A, pows[k - 1])
-        w = np.einsum("kcj,cj->kc", pows[:L, :, 0, :], Bv)  # w[k, c] = e0 A^k Bv
-        # W[c, i, j] = w[i-1-j] for j < i
-        W = np.zeros((C, L, L))
-        for i in range(1, L):
-            for j in range(i):
-                W[:, i, j] = w[i - 1 - j]
-        self.W = W
-        self.P = np.transpose(pows[:L, :, 0, :], (1, 0, 2))  # [C, L, 2]
-        self.V = np.stack(
-            [np.einsum("cij,cj->ci", pows[L - 1 - j], Bv) for j in range(L)], axis=2
-        )  # [C, 2, L]
-        self.AL = pows[L]  # [C, 2, 2]
-        self.c0 = c0
-        # hi/lo f32 splits for the double-float carry path (f32 dtype only)
-        self.AL_hi, self.AL_lo = _split_f64(self.AL)
-        self.V_hi, self.V_lo = _split_f64(self.V)
-        self.P_hi, self.P_lo = _split_f64(self.P)
-        self.W_hi, self.W_lo = _split_f64(self.W)
-
-
-def biquad_blocked(plan, state, x):
-    """Run a block with a BiquadBlockedPlan. x: [B, C] with B % L == 0.
-
-    state: [2, C, 2] — a (hi, lo) double-float pair of the TDF2 memories so
-    block boundaries don't round the carried state to single f32 (state[1] is
-    identically zero on the f64 path). Full-f32 matmul precision (see
-    biquad_scan)."""
-    import jax
-
-    with jax.default_matmul_precision("float32"):
-        return _biquad_blocked_impl(plan, state, x)
-
-
-def _biquad_blocked_impl(plan, state, x):
-    import jax
-    import jax.numpy as jnp
-
-    B, C = x.shape
-    L = plan.L
-    Nc = B // L
-    dt = x.dtype
-    xc = x.reshape(Nc, L, C)
-    c0 = jnp.asarray(plan.c0, dtype=dt)
-    if dt == jnp.float32:
-        # within-chunk contributions, compensated: the plain [L, L] f32 matmul
-        # accumulates ~sqrt(L)*eps rounding which caps worst-sample error near
-        # -119 dBFS over minutes of audio. Contract in groups of 16 taps on
-        # the MXU (hi+lo split of W removes table rounding) and combine the
-        # G=8 partials with a double-float tree; the kernel is HBM-bound so
-        # the lower MXU utilization of the K=16 contraction is free.
-        G = 8
-        T = L // G
-        Wg_hi = jnp.asarray(plan.W_hi.reshape(C, L, G, T))
-        Wg_lo = jnp.asarray(plan.W_lo.reshape(C, L, G, T))
-        xg = xc.reshape(Nc, G, T, C)
-        zp_h = jnp.einsum("cigt,ngtc->ngic", Wg_hi, xg, preferred_element_type=dt)
-        zp_l = jnp.einsum("cigt,ngtc->ngic", Wg_lo, xg, preferred_element_type=dt)
-        zh, zl = _df_reduce(zp_h, zp_l, 1)
-        # double-float carry chain: see module comment above _two_sum
-        Vh = jnp.asarray(plan.V_hi)
-        Vl = jnp.asarray(plan.V_lo)
-        vh, vl = _df_inject(Vh, Vl, xc)
-        ALh = jnp.broadcast_to(jnp.asarray(plan.AL_hi), (Nc, C, 2, 2))
-        ALl = jnp.broadcast_to(jnp.asarray(plan.AL_lo), (Nc, C, 2, 2))
-
-        Mph, Mpl, vph, vpl = jax.lax.associative_scan(
-            _df_affine_combine, (ALh, ALl, vh, vl), axis=0
-        )
-        sh, sl = _df_mat2vec(
-            Mph,
-            Mpl,
-            jnp.broadcast_to(state[0], (Nc, C, 2)),
-            jnp.broadcast_to(state[1], (Nc, C, 2)),
-        )
-        sh, sl = _df_add(sh, sl, vph, vpl)  # state after chunk n
-        s0h = jnp.concatenate([state[0][None], sh[:-1]], axis=0)  # [Nc, C, 2]
-        s0l = jnp.concatenate([state[1][None], sl[:-1]], axis=0)
-        Ph = jnp.asarray(plan.P_hi)
-        Pl = jnp.asarray(plan.P_lo)
-        # P @ s in mixed precision (reduction over k=2 only; keeps |s|*eps
-        # representation error of a single-f32 cast out of y)
-        yc = (
-            jnp.einsum("clk,nck->nlc", Ph, s0h)
-            + jnp.einsum("clk,nck->nlc", Ph, s0l)
-            + jnp.einsum("clk,nck->nlc", Pl, s0h)
-        )
-        # assemble y in double-float so intermediate roundings stay relative
-        # to |y| (a plain f32 sum rounds at eps*|x| even where y is small,
-        # which is the worst-sample floor over long programs)
-        yh, ylo = _two_prod(c0, xc)
-        yh, ylo = _df_add(yh, ylo, zh, zl)
-        y = yh + (ylo + yc)
-        return jnp.stack([sh[-1], sl[-1]]), y.reshape(B, C)
-    z = jnp.einsum(
-        "cij,njc->nic", jnp.asarray(plan.W, dtype=dt), xc, preferred_element_type=dt
-    )
-    P = jnp.asarray(plan.P, dtype=dt)
-    V = jnp.asarray(plan.V, dtype=dt)
-    AL = jnp.asarray(plan.AL, dtype=dt)
-    s0 = state[0] + state[1]
-    # carry inputs per chunk
-    v = jnp.einsum("cij,njc->nci", V, xc, preferred_element_type=dt)
-    # carry chain: s_{n+1} = AL s_n + v_n (associative over Nc elements)
-    M = jnp.broadcast_to(AL, (Nc,) + AL.shape)
-
-    Mp, vp = jax.lax.associative_scan(_affine_combine, (M, v), axis=0)
-    s_end = (Mp @ s0[None, ..., None])[..., 0] + vp  # state after chunk n
-    s_start = jnp.concatenate([s0[None], s_end[:-1]], axis=0)  # [Nc, C, 2]
-    y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z
-    return jnp.stack([s_end[-1], jnp.zeros_like(s_end[-1])]), y.reshape(B, C)
-
-
 # --- fused biquad cascades --------------------------------------------------
 
 
@@ -752,3 +609,19 @@ def _lti_blocked_impl(plan, state, x):
     s_start = jnp.concatenate([s0[None], s_end[:-1]], axis=0)
     y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z
     return jnp.stack([s_end[-1], jnp.zeros_like(s_end[-1])]), y.reshape(B, C)
+
+
+# --- single-biquad blocked plan: a one-stage cascade ------------------------
+# The standalone biquad kernel was a near-verbatim n=2 copy of the cascade
+# kernel (same coupled basis via ss_from_biquad -> _coupled_form_ss, same
+# W/P/V/A^L tables, same f32 compensated paths). One implementation serves
+# both; the names remain for callers and the state layouts are identical
+# ([2, C, 2] (hi, lo) pairs), so blocked/scan handover is unchanged.
+
+
+class BiquadBlockedPlan(CascadeBlockedPlan):
+    def __init__(self, c, L=BLOCKED_L):
+        super().__init__([c], L)
+
+
+biquad_blocked = lti_blocked
