@@ -271,7 +271,7 @@ def test_fuzz_chain_f32_finite(seed):
 # --- fuzzed differential battery vs the C build ----------------------------
 
 @pytest.mark.skipif(not os.path.exists(REF_BIN), reason="C reference binary not built")
-@pytest.mark.parametrize("seed", range(100, 110))
+@pytest.mark.parametrize("seed", range(100, 116))
 def test_fuzz_diff_vs_c(seed, tmp_path):
     import contextlib
     import io
