@@ -28,31 +28,25 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if os.environ.get("DSP_TPU_NATIVE", "1") == "0":
-        _lib = False
-        return _lib
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cand = os.path.join(here, "native", "libdspav.so")
-    if not os.path.exists(cand):
-        _lib = False
-        return _lib
-    try:
-        lib = ctypes.CDLL(cand)
-    except OSError:
-        _lib = False
-        return _lib
-    lib.dspav_open.restype = ctypes.c_void_p
-    lib.dspav_open.argtypes = [ctypes.c_char_p]
-    lib.dspav_channels.argtypes = [ctypes.c_void_p]
-    lib.dspav_sample_rate.argtypes = [ctypes.c_void_p]
-    lib.dspav_frames.restype = ctypes.c_int64
-    lib.dspav_frames.argtypes = [ctypes.c_void_p]
-    lib.dspav_read.restype = ctypes.c_int64
-    lib.dspav_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
-    lib.dspav_seek.restype = ctypes.c_int64
-    lib.dspav_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-    lib.dspav_close.argtypes = [ctypes.c_void_p]
-    _lib = lib
+
+    def _declare(lib):
+        lib.dspav_open.restype = ctypes.c_void_p
+        lib.dspav_open.argtypes = [ctypes.c_char_p]
+        lib.dspav_channels.argtypes = [ctypes.c_void_p]
+        lib.dspav_sample_rate.argtypes = [ctypes.c_void_p]
+        lib.dspav_frames.restype = ctypes.c_int64
+        lib.dspav_frames.argtypes = [ctypes.c_void_p]
+        lib.dspav_read.restype = ctypes.c_int64
+        lib.dspav_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.dspav_seek.restype = ctypes.c_int64
+        lib.dspav_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.dspav_close.argtypes = [ctypes.c_void_p]
+        lib.dspav_sample_fmt_name.restype = ctypes.c_char_p
+        lib.dspav_sample_fmt_name.argtypes = [ctypes.c_void_p]
+
+    from dsp_tpu.codecs.native import load_shim
+
+    _lib = load_shim("libdspav.so", _declare)
     return _lib
 
 
@@ -67,11 +61,20 @@ class FfmpegCodec(Codec):
             raise CodecError(f"ffmpeg: failed to open: {params.path}")
         self.path = params.path
         self.type = "ffmpeg"
-        self.enc = "autodetected"
+        fmt = lib.dspav_sample_fmt_name(self._h)
+        self.enc = fmt.decode() if fmt else "autodetected"
         self.fs = lib.dspav_sample_rate(self._h)
         self.channels = lib.dspav_channels(self._h)
         self.frames = int(lib.dspav_frames(self._h))
-        self.prec = 24
+        # precision + dither eligibility from the decoder's sample format
+        # (ffmpeg.c:396-430): integer formats can dither
+        base = self.enc.rstrip("p")
+        prec_map = {"u8": 8, "s16": 16, "s32": 32, "s64": 32, "flt": 24, "dbl": 53}
+        self.prec = prec_map.get(base, 24)
+        if base in ("u8", "s16", "s32", "s64"):
+            from dsp_tpu.codecs.base import CODEC_HINT_CAN_DITHER
+
+            self.hints |= CODEC_HINT_CAN_DITHER
         self.buf_ratio = params.buf_ratio
 
     def read(self, frames):
@@ -80,7 +83,12 @@ class FfmpegCodec(Codec):
         return buf[:got]
 
     def seek(self, pos):
-        return int(self._lib.dspav_seek(self._h, max(0, pos)))
+        # reference clamping (ffmpeg.c:232-237): unknown length refuses the
+        # seek; at/past EOF clamps to the final frame
+        if self.frames < 0:
+            return -1
+        pos = min(max(0, pos), self.frames - 1)
+        return int(self._lib.dspav_seek(self._h, pos))
 
     def close(self):
         if self._h:

@@ -34,31 +34,23 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if os.environ.get("DSP_TPU_NATIVE", "1") == "0":
-        _lib = False
-        return _lib
-    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    cand = os.path.join(here, "native", "libdspmad.so")
-    if not os.path.exists(cand):
-        _lib = False
-        return _lib
-    try:
-        lib = ctypes.CDLL(cand)
-    except OSError:
-        _lib = False
-        return _lib
-    lib.dspmad_open.restype = ctypes.c_void_p
-    lib.dspmad_open.argtypes = [ctypes.c_char_p]
-    lib.dspmad_sample_rate.argtypes = [ctypes.c_void_p]
-    lib.dspmad_channels.argtypes = [ctypes.c_void_p]
-    lib.dspmad_frames.restype = ctypes.c_long
-    lib.dspmad_frames.argtypes = [ctypes.c_void_p]
-    lib.dspmad_read.restype = ctypes.c_long
-    lib.dspmad_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
-    lib.dspmad_seek.restype = ctypes.c_long
-    lib.dspmad_seek.argtypes = [ctypes.c_void_p, ctypes.c_long]
-    lib.dspmad_close.argtypes = [ctypes.c_void_p]
-    _lib = lib
+
+    def _declare(lib):
+        lib.dspmad_open.restype = ctypes.c_void_p
+        lib.dspmad_open.argtypes = [ctypes.c_char_p]
+        lib.dspmad_sample_rate.argtypes = [ctypes.c_void_p]
+        lib.dspmad_channels.argtypes = [ctypes.c_void_p]
+        lib.dspmad_frames.restype = ctypes.c_long
+        lib.dspmad_frames.argtypes = [ctypes.c_void_p]
+        lib.dspmad_read.restype = ctypes.c_long
+        lib.dspmad_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
+        lib.dspmad_seek.restype = ctypes.c_long
+        lib.dspmad_seek.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.dspmad_close.argtypes = [ctypes.c_void_p]
+
+    from dsp_tpu.codecs.native import load_shim
+
+    _lib = load_shim("libdspmad.so", _declare)
     return _lib
 
 

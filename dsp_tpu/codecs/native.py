@@ -13,6 +13,28 @@ import numpy as np
 
 _ENC = {"u8": 0, "s8": 1, "s16": 2, "s24": 3, "s24_3": 4, "s32": 5, "float": 6, "double": 7}
 
+def load_shim(soname, declare):
+    """Shared shim loader for the native C libraries (libdspio/libdspav/
+    libdspmad): honors the DSP_TPU_NATIVE=0 gate, looks in the repo
+    native/ dir and next to this package, and memoizes False on failure.
+    `declare(lib)` sets the ctypes prototypes."""
+    if os.environ.get("DSP_TPU_NATIVE", "1") == "0":
+        return False
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", soname),
+        os.path.join(os.path.dirname(__file__), soname),
+    ):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+            except OSError:
+                continue
+            declare(lib)
+            return lib
+    return False
+
+
 _lib = None
 
 

@@ -29,37 +29,40 @@ struct Dec {
     // leftover decoded samples (interleaved doubles)
     std::vector<double> buf;
     size_t buf_off = 0;
-    int64_t pos = 0;  // current frame position
+    int64_t last_ts = 0;  // best-effort pts of the last decoded frame
     bool draining = false;
     bool eof = false;
 };
 
 double get_sample(const AVFrame *f, int fmt, int ch, int i) {
+    // planar reads go through extended_data like the reference
+    // (ffmpeg.c:214): data[] is a fixed 8-pointer array, so >8-channel
+    // planar audio would index out of bounds
     switch (fmt) {
     case AV_SAMPLE_FMT_U8:
-        return (((const uint8_t *)f->data[0])[i * f->ch_layout.nb_channels + ch] - 128.0) / 128.0;
+        return (((const uint8_t *)f->extended_data[0])[i * f->ch_layout.nb_channels + ch] - 128.0) / 128.0;
     case AV_SAMPLE_FMT_U8P:
-        return (((const uint8_t *)f->data[ch])[i] - 128.0) / 128.0;
+        return (((const uint8_t *)f->extended_data[ch])[i] - 128.0) / 128.0;
     case AV_SAMPLE_FMT_S16:
-        return ((const int16_t *)f->data[0])[i * f->ch_layout.nb_channels + ch] / 32768.0;
+        return ((const int16_t *)f->extended_data[0])[i * f->ch_layout.nb_channels + ch] / 32768.0;
     case AV_SAMPLE_FMT_S16P:
-        return ((const int16_t *)f->data[ch])[i] / 32768.0;
+        return ((const int16_t *)f->extended_data[ch])[i] / 32768.0;
     case AV_SAMPLE_FMT_S32:
-        return ((const int32_t *)f->data[0])[i * f->ch_layout.nb_channels + ch] / 2147483648.0;
+        return ((const int32_t *)f->extended_data[0])[i * f->ch_layout.nb_channels + ch] / 2147483648.0;
     case AV_SAMPLE_FMT_S32P:
-        return ((const int32_t *)f->data[ch])[i] / 2147483648.0;
+        return ((const int32_t *)f->extended_data[ch])[i] / 2147483648.0;
     case AV_SAMPLE_FMT_FLT:
-        return ((const float *)f->data[0])[i * f->ch_layout.nb_channels + ch];
+        return ((const float *)f->extended_data[0])[i * f->ch_layout.nb_channels + ch];
     case AV_SAMPLE_FMT_FLTP:
-        return ((const float *)f->data[ch])[i];
+        return ((const float *)f->extended_data[ch])[i];
     case AV_SAMPLE_FMT_DBL:
-        return ((const double *)f->data[0])[i * f->ch_layout.nb_channels + ch];
+        return ((const double *)f->extended_data[0])[i * f->ch_layout.nb_channels + ch];
     case AV_SAMPLE_FMT_DBLP:
-        return ((const double *)f->data[ch])[i];
+        return ((const double *)f->extended_data[ch])[i];
     case AV_SAMPLE_FMT_S64:
-        return ((const int64_t *)f->data[0])[i * f->ch_layout.nb_channels + ch] / 9223372036854775808.0;
+        return ((const int64_t *)f->extended_data[0])[i * f->ch_layout.nb_channels + ch] / 9223372036854775808.0;
     case AV_SAMPLE_FMT_S64P:
-        return ((const int64_t *)f->data[ch])[i] / 9223372036854775808.0;
+        return ((const int64_t *)f->extended_data[ch])[i] / 9223372036854775808.0;
     }
     return 0.0;
 }
@@ -71,10 +74,15 @@ bool fill(Dec *d) {
         if (r == 0) {
             const int n = d->frame->nb_samples;
             const int fmt = d->frame->format;
+            // a mid-stream channel-count drop must not read missing planes
+            const int fch = d->frame->ch_layout.nb_channels;
+            const int rch = fch < d->channels ? fch : d->channels;
+            if (d->frame->best_effort_timestamp != AV_NOPTS_VALUE)
+                d->last_ts = d->frame->best_effort_timestamp;
             const size_t base = d->buf.size();
-            d->buf.resize(base + (size_t)n * d->channels);
+            d->buf.resize(base + (size_t)n * d->channels, 0.0);
             for (int i = 0; i < n; ++i)
-                for (int c = 0; c < d->channels; ++c)
+                for (int c = 0; c < rch; ++c)
                     d->buf[base + (size_t)i * d->channels + c] =
                         get_sample(d->frame, fmt, c, i);
             av_frame_unref(d->frame);
@@ -123,6 +131,9 @@ void *dspav_open(const char *path) {
         if (avcodec_open2(d->cc, codec, nullptr) < 0) goto fail;
         d->channels = d->cc->ch_layout.nb_channels;
         d->fs = d->cc->sample_rate;
+        // 0 channels / 0 rate would SIGFPE in read (division) and seek
+        // (AVRational{1, 0}); fail so dispatch falls through to sndfile
+        if (d->channels <= 0 || d->fs <= 0) goto fail;
         if (st->duration > 0)
             d->frames = av_rescale_q(st->duration, st->time_base,
                                      AVRational{1, d->fs});
@@ -134,6 +145,8 @@ void *dspav_open(const char *path) {
     }
     return d;
 fail:
+    if (d->frame) av_frame_free(&d->frame);
+    if (d->pkt) av_packet_free(&d->pkt);
     if (d->cc) avcodec_free_context(&d->cc);
     if (d->fmt) avformat_close_input(&d->fmt);
     delete d;
@@ -164,7 +177,6 @@ int64_t dspav_read(void *h, double *dst, int64_t want) {
         if (d->eof) break;
         if (!fill(d)) break;
     }
-    d->pos += out;
     return out;
 }
 
@@ -172,17 +184,26 @@ int64_t dspav_seek(void *h, int64_t frame) {
     auto *d = (Dec *)h;
     AVStream *st = d->fmt->streams[d->stream];
     int64_t ts = av_rescale_q(frame, AVRational{1, d->fs}, st->time_base);
-    if (avformat_seek_file(d->fmt, d->stream, INT64_MIN, ts, ts, 0) < 0)
+    if (avformat_seek_file(d->fmt, d->stream, INT64_MIN, ts, INT64_MAX, 0) < 0)
         return -1;
     avcodec_flush_buffers(d->cc);
     d->buf.clear();
     d->buf_off = 0;
     d->draining = false;
     d->eof = false;
-    // decode forward to the exact frame using pts of the first frame
-    // (approximation: assume seek landed at/before target and skip)
-    d->pos = frame;
-    return frame;
+    // report the position actually landed on: demuxers seek to a keyframe
+    // possibly well before the target, and the reference derives the real
+    // position from the first post-seek timestamp (ffmpeg.c:243-245). The
+    // decoded frame's samples stay buffered, so reads continue from there.
+    if (!fill(d))
+        return frame;  // seeked into EOF: no frame to measure
+    return av_rescale_q(d->last_ts, st->time_base, AVRational{1, d->fs});
+}
+
+int dspav_sample_fmt(void *h) { return (int)((Dec *)h)->cc->sample_fmt; }
+
+const char *dspav_sample_fmt_name(void *h) {
+    return av_get_sample_fmt_name(((Dec *)h)->cc->sample_fmt);
 }
 
 void dspav_close(void *h) {

@@ -208,8 +208,7 @@ long dspmad_seek(void *p, long pos)
 		fpos += mad_timer_count(h->frame.header.duration,
 		                        h->frame.header.samplerate);
 	}
-	if (dspmad_next_frame(h) != 0)
-		return fpos;
+	dspmad_next_frame(h);  /* position is fpos either way */
 	return fpos;
 }
 
