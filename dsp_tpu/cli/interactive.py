@@ -203,7 +203,10 @@ class StreamLoop:
                         out_budget -= keep
         self.chain = new_chain
         self.cc = new_cc
-        self.discard_left = new_chain.output_discard
+        # the crossfade end-aligns the new chain's output_discard internally
+        # (ChainXfade docstring): applying the outer discard too would cut
+        # valid old-chain audio out of the blended stream
+        self.discard_left = 0 if self.xfade is not None else new_chain.output_discard
         self._apply_dither()
 
     def check_watch_reload(self):

@@ -110,10 +110,12 @@ class PcmCodec(Codec):
         return len(buf)
 
     def seek(self, pos):
-        if not self._seekable:
+        # write-mode files refuse to seek, like pcm_seek's frames == -1
+        # check (pcm.c:161-167); read positions always clamp (an empty
+        # file previously passed a negative pos straight to f.seek)
+        if not self._seekable or self.frames < 0:
             return -1
-        if self.frames > 0:
-            pos = min(max(pos, 0), self.frames)
+        pos = min(max(pos, 0), self.frames)
         if self._native is not None:
             self._native.seek(pos)
         else:

@@ -31,18 +31,26 @@ class PmRand:
         self.s = np.uint64(r)
         return r
 
+    _pow_cache = {}  # (a, n) -> A^(j+1) mod M table
+
     def block(self, n):
-        """Generate n values as an int64 array (host-side)."""
-        out = np.empty(n, dtype=np.int64)
-        s = int(self.s)
-        a = self.a
-        for i in range(n):
-            p = s * a
-            r = (p & 0x7FFFFFFF) + (p >> 31)
-            r = (r & 0x7FFFFFFF) + (r >> 31)
-            s = r
-            out[i] = r
-        self.s = np.uint64(s)
+        """Generate n values as an int64 array (host-side), vectorized via
+        modular jump-ahead: out[j] = s0 * A^(j+1) mod M. Both factors are
+        < 2^31, so the int64 products (< 2^62) are exact — the 53-bit
+        mantissa limitation applies only to float64. The A^j table is built
+        once per (a, n) and cached; this runs on the output dither hot path
+        (OutputWriter.write) for every block."""
+        key = (self.a, n)
+        tbl = PmRand._pow_cache.get(key)
+        if tbl is None:
+            tbl = np.empty(n, dtype=np.int64)
+            p = 1
+            for i in range(n):
+                p = (p * self.a) % 0x7FFFFFFF
+                tbl[i] = p
+            PmRand._pow_cache[key] = tbl
+        out = (int(self.s) * tbl) % 0x7FFFFFFF
+        self.s = np.uint64(out[-1]) if n else self.s
         return out
 
 

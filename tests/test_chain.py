@@ -243,3 +243,40 @@ class TestDither:
         cc = CompiledChain(c, block_frames=4096)
         y = np.asarray(cc.run_block(np.zeros((4096, 1))))
         assert 0 < np.abs(y).max() <= 10 ** (-60 / 20) + 1e-9
+
+
+class TestChainXfade:
+    def test_discard_end_alignment_no_skip(self, rng):
+        """Crossfading to a chain with output_discard (a rate-changing
+        chain: the resampler's filter delay) must not blend the new chain's
+        pre-alignment junk or skip old-chain audio: frame 0 of the fade
+        continues the old stream exactly (fade weight 1.0), and the fade
+        length follows the OUTPUT rate."""
+        from dsp_tpu.chain.xfade import ChainXfade
+
+        oldc = _chain("resample 48k")
+        newc = _chain("resample 48k gain -6")
+        assert newc.output_discard > 0  # the case under test
+        old = CompiledChain(oldc, block_frames=588)
+        new = CompiledChain(newc, block_frames=588)
+        twin = CompiledChain(_chain("resample 48k"), block_frames=588)
+        x = rng.uniform(-0.5, 0.5, (4 * 588, 2))
+        # warm the old chain mid-stream (its own discard consumed upstream)
+        for i in range(0, 2 * 588, 588):
+            old.run_block(x[i : i + 588])
+            twin.run_block(x[i : i + 588])
+        xf = ChainXfade(old, new)
+        assert xf.frames == int(round(0.1 * 48000))  # output-rate fade length
+        y0 = np.asarray(xf.run_block(x[2 * 588 : 3 * 588]))
+        t0 = np.asarray(twin.run_block(x[2 * 588 : 3 * 588]))
+        # frame 0: full old weight, no skip, no junk blended
+        assert np.allclose(y0[0], t0[0], atol=1e-12)
+        assert np.isfinite(y0).all() and y0.shape == t0.shape
+
+    def test_channel_mismatch_disables_fade(self):
+        from dsp_tpu.chain.xfade import ChainXfade
+
+        old = CompiledChain(_chain("gain 0"), block_frames=512)
+        new = CompiledChain(_chain("remix 0,1"), block_frames=512)  # 2 -> 1 ch
+        xf = ChainXfade(old, new)
+        assert not xf.active  # dsp.c:1365-1366: no fade on stream mismatch
