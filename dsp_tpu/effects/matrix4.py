@@ -327,6 +327,11 @@ class Matrix4Effect(Effect):
         init_interp[14] = 1.0  # m_surr_amb
         st = {
             "ev": m4.make_event_state(p),
+            # lo parts of the double-float control state (used when the chain
+            # runs float32; passed through untouched under float64)
+            "ev_lo": m4.make_event_state_lo(p),
+            "env_m_lo": np.zeros(8, dtype=np.float32),
+            "bg_cs_lo": np.zeros(2, dtype=np.float32),
             "bp_m": np.zeros((4, 2)),  # band-limit biquad memories
             "env_m": np.zeros(8),  # envelope EWMAs
             "bg_cs": np.array([1.0, 1.0]),  # smf state (m0, m1)
@@ -395,26 +400,27 @@ class Matrix4Effect(Effect):
         r_bp = y_bp[:, 1]
 
         # envelopes: 8 EWMAs over [B] (abs l, abs r, abs sum, abs diff, squares)
+        # Under float32 the whole control path — these envelope accumulators,
+        # the event-engine scan and its parameters/state — runs in double-float
+        # (hi, lo f32 pairs, dsp_tpu.ops.dfx): a plain f32 control path drifts
+        # and jitters the event decisions to ~-95 dBFS free-running vs the C
+        # double build; df restores <= -120 (the audio path is fine in f32).
+        from dsp_tpu.ops import dfx as dx
+
+        use_df = x.dtype == jnp.float32
         sum_ = l_bp + r_bp
         diff = l_bp - r_bp
         env_in = jnp.stack(
             [jnp.abs(l_bp), jnp.abs(r_bp), jnp.abs(sum_), jnp.abs(diff),
              l_bp * l_bp, r_bp * r_bp, sum_ * sum_, diff * diff], axis=1,
         )  # [B, 8]
-        g = jnp.asarray(self.g_env, dtype=x.dtype)
-        a = jnp.full((B, 8), 1.0 - self.g_env, dtype=x.dtype)
-        b = g * env_in
-
-        def comb(pq, qq):
-            a1, b1 = pq
-            a2, b2 = qq
-            return a2 * a1, a2 * b1 + b2
-
-        aa, bb = jax.lax.associative_scan(comb, (a, b), axis=0)
-        envs = aa * state["env_m"][None, :].astype(x.dtype) + bb  # [B, 8]
-        env_m = envs[-1]
+        env_m, env_m_lo, envs = m4.env_ewma_scan(
+            state["env_m"].astype(x.dtype),
+            state["env_m_lo"] if use_df else None,
+            self.g_env, env_in, use_df,
+        )
         # decimate: control ticks at samples D-1, 2D-1, ...
-        env_ds = envs[D - 1 :: D]  # [Nc, 8]
+        env_ds = envs[D - 1 :: D]  # [Nc, 8] (DF under f32)
 
         # fade multiplier at each tick (fade_mult, matrix4_common.h:265-280;
         # fade_p counts down per audio sample)
@@ -427,8 +433,8 @@ class Matrix4Effect(Effect):
         fade_mult_ticks = jnp.where(fade_p_at > 0, fade_sm, (~dis).astype(x.dtype))
 
         # control-rate scan (params cast so f64 scalars don't leak into the
-        # f32 carries on TPU — m4_engine.cast_params)
-        p = m4.cast_params(self.ev_params, x.dtype)
+        # f32 carries on TPU — m4_engine.cast_params; df=exact (hi,lo) pairs)
+        p = m4.cast_params(self.ev_params, x.dtype, df=use_df)
         calc = m4.calc_matrix_coefs_v4 if cfg.matrix_ver == "v4" else m4.calc_matrix_coefs_v1
 
         def control_step(carry, inp):
@@ -439,7 +445,7 @@ class Matrix4Effect(Effect):
             ev, out = m4.event_step(p, ev, env, pwr, 1.0)
             w_step = m4.smoothstep(out["ax_cs"] * (-2.0 / m4.M_PI_4))
             bg, w1 = m4.smf_asym_run(bg, w_step + 1.0, self.bg_g0, self.bg_c0, self.bg_c1)
-            w = w1 - 1.0
+            w = dx.value(w1) - 1.0
             surr_mult = (w * cfg.surr_mult[1] + (1.0 - w) * cfg.surr_mult[0]) * fade
             ct_pcf = cfg.contour_pwrcmp * out["pwrcmp_factor"]
             shelf_ct0 = w + (1.0 - w) * self.shelf_mult
@@ -477,11 +483,27 @@ class Matrix4Effect(Effect):
             aux = jnp.stack([out["ax_lr"], out["ax_cs"], out["ax_ev_lr"], out["ax_ev_cs"]])
             return (ev, bg, iy), (ic, aux)
 
+        if use_df:
+            ev0 = dx.wrap_dict(state["ev"], state["ev_lo"])
+            bg0 = (
+                dx.DF(state["bg_cs"][0], state["bg_cs_lo"][0]),
+                dx.DF(state["bg_cs"][1], state["bg_cs_lo"][1]),
+            )
+        else:
+            ev0 = state["ev"]
+            bg0 = (state["bg_cs"][0], state["bg_cs"][1])
         (ev_new, bg_new, iy_new), (ics, auxs) = jax.lax.scan(
             control_step,
-            (state["ev"], (state["bg_cs"][0], state["bg_cs"][1]), state["interp_y"].astype(x.dtype)),
+            (ev0, bg0, state["interp_y"].astype(x.dtype)),
             (env_ds, fade_mult_ticks),
         )
+        if use_df:
+            ev_new, ev_lo_new = dx.split_dict(ev_new, set(state["ev_lo"]))
+            bg_lo_new = jnp.stack([bg_new[0].lo, bg_new[1].lo])
+            bg_new = (bg_new[0].hi, bg_new[1].hi)
+        else:
+            ev_lo_new = state["ev_lo"]
+            bg_lo_new = state["bg_cs_lo"]
         # ics: [Nc, 3, N_INTERP]; prepend carried coefficient set
         all_ics = jnp.concatenate([state["interp_c"][None].astype(x.dtype), ics], axis=0)
         i_arange = jnp.arange(B)
@@ -492,9 +514,12 @@ class Matrix4Effect(Effect):
 
         ctl = {
             "ev": ev_new,
+            "ev_lo": ev_lo_new,
             "bp_m": bp_m,
             "env_m": env_m,
+            "env_m_lo": env_m_lo if use_df else state["env_m_lo"],
             "bg_cs": jnp.stack([bg_new[0], bg_new[1]]),
+            "bg_cs_lo": bg_lo_new,
             "interp_y": iy_new,
             "interp_c": ics[-1],
         }

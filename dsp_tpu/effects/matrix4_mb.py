@@ -170,8 +170,18 @@ class Matrix4MbEffect(Effect):
         ev0 = {
             k: np.broadcast_to(v, (N_BANDS,) + np.shape(v)).copy() for k, v in base.items()
         }
+        ev_lo = {
+            k: np.zeros((N_BANDS,) + np.shape(v), dtype=np.float32)
+            for k, v in base.items()
+            if np.issubdtype(np.asarray(v).dtype, np.floating)
+        }
         return {
             "ev": ev0,
+            # lo parts of the double-float control state (f32 chains only;
+            # passed through untouched under float64) — see matrix4.py
+            "ev_lo": ev_lo,
+            "ev_thresh_lo": np.zeros(N_BANDS, dtype=np.float32),
+            "env_m_lo": np.zeros((N_BANDS, 8), dtype=np.float32),
             "ev_thresh": self.ev_thresh_max.copy(),
             "fshape_m": np.zeros((4, 2)),  # lf+hf per channel
             "bank": self._bank_state0(),
@@ -369,18 +379,18 @@ class Matrix4MbEffect(Effect):
             [jnp.abs(l_b), jnp.abs(r_b), jnp.abs(sum_b), jnp.abs(diff_b),
              l_b * l_b, r_b * r_b, sum_b * sum_b, diff_b * diff_b], axis=2,
         )
-        a = jnp.full(env_in.shape, 1.0 - self.g_env, dtype=x.dtype)
-        b = self.g_env * env_in
+        # f32 chains run the whole control path in double-float (see
+        # matrix4.py / ops.dfx): envelope accumulators, per-band event-engine
+        # scans, and the event-threshold EWMA below
+        from dsp_tpu.ops import dfx as dx
 
-        def comb(pq, qq):
-            a1_, b1_ = pq
-            a2_, b2_ = qq
-            return a2_ * a1_, a2_ * b1_ + b2_
-
-        aa, bb = jax.lax.associative_scan(comb, (a, b), axis=0)
-        envs = aa * state["env_m"][None].astype(x.dtype) + bb
-        env_m = envs[-1]
-        env_ds = envs[D - 1 :: D]  # [Nc, NB, 8]
+        use_df = x.dtype == jnp.float32
+        env_m, env_m_lo, envs = m4.env_ewma_scan(
+            state["env_m"].astype(x.dtype),
+            state["env_m_lo"] if use_df else None,
+            self.g_env, env_in, use_df,
+        )
+        env_ds = envs[D - 1 :: D]  # [Nc, NB, 8] (DF under f32)
 
         # fade at ticks
         tick_i = jnp.arange(Nc) * D + (D - 1)
@@ -391,7 +401,7 @@ class Matrix4MbEffect(Effect):
         fade_sm = (1.0 - jnp.cos(fade_lin * np.pi)) * 0.5
         fade_ticks = jnp.where(fade_p_at > 0, fade_sm, (~dis).astype(x.dtype))
 
-        p = m4.cast_params(self.ev_params, x.dtype)
+        p = m4.cast_params(self.ev_params, x.dtype, df=use_df)
         calc = m4.calc_matrix_coefs_v4 if cfg.matrix_ver == "v4" else m4.calc_matrix_coefs_v1
         ev_step_band = jax.vmap(
             lambda pp, st_, env_, pwr_, ts: m4.event_step(pp, st_, env_, pwr_, ts),
@@ -404,18 +414,24 @@ class Matrix4MbEffect(Effect):
         def control_step(carry, inp):
             ev, evt, iy = carry
             e8, fade = inp  # e8: [NB, 8]
-            # cross-band event threshold modulation (matrix4_mb.c:379-418)
+            # cross-band event threshold modulation (matrix4_mb.c:379-418).
+            # cand and the evt EWMA/compare run at carry precision (df under
+            # f32); the similarity weights sim/fact are smooth modulators and
+            # drop to plain f32 (fresh inputs each tick — no accumulation).
             cand = ((ev["slope_last"][:, 0] > 0.0) & (ev["last"][:, 0] > etmin)) | (
                 (ev["slope_last"][:, 1] > 0.0) & (ev["last"][:, 1] > etmin)
             )
-            d_lr = jnp.abs(ev["diff_last"][:, None, 0] - ev["diff_last"][None, :, 0])
-            d_cs = jnp.abs(ev["diff_last"][:, None, 1] - ev["diff_last"][None, :, 1])
+            dlast = dx.value(ev["diff_last"])
+            d_lr = jnp.abs(dlast[:, None, 0] - dlast[None, :, 0])
+            d_cs = jnp.abs(dlast[:, None, 1] - dlast[None, :, 1])
             sim = m4.smoothstep(1.0 - jnp.maximum(d_lr, d_cs) * float(16.0 / np.pi))
             fact = (sim * cand[None, :]).sum(axis=1) - 1.0
             fact = jnp.where(cand, fact, 0.0)
             evt_target = etmax - (etmax - etmin) * fact * (1.0 / (N_BANDS - 1))
+            if use_df:
+                evt_target = dx.lift(evt_target)
             up = evt + self.g_ev_thresh * (evt_target - evt)
-            evt_new = jnp.where(evt_target >= evt, up, evt_target)
+            evt_new = dx.where(evt_target >= evt, up, evt_target)
             env = {"l": e8[:, 0], "r": e8[:, 1], "sum": e8[:, 2], "diff": e8[:, 3]}
             pwr = {"l": e8[:, 4], "r": e8[:, 5], "sum": e8[:, 6], "diff": e8[:, 7]}
             ev, out = ev_step_band(p, ev, env, pwr, evt_new * (1.0 / m4.EVENT_THRESH))
@@ -446,11 +462,24 @@ class Matrix4MbEffect(Effect):
             aux = jnp.stack([out["ax_lr"], out["ax_cs"]], axis=1)  # [NB, 2]
             return (ev, evt_new, iy), (ic, aux)
 
+        if use_df:
+            ev0 = dx.wrap_dict(state["ev"], state["ev_lo"])
+            evt0 = dx.DF(state["ev_thresh"].astype(x.dtype), state["ev_thresh_lo"])
+        else:
+            ev0 = state["ev"]
+            evt0 = state["ev_thresh"].astype(x.dtype)
         (ev_new, evt_new, iy_new), (ics, auxs) = jax.lax.scan(
             control_step,
-            (state["ev"], state["ev_thresh"].astype(x.dtype), state["interp_y"].astype(x.dtype)),
+            (ev0, evt0, state["interp_y"].astype(x.dtype)),
             (env_ds, fade_ticks),
         )
+        if use_df:
+            ev_new, ev_lo_new = dx.split_dict(ev_new, set(state["ev_lo"]))
+            evt_lo_new = evt_new.lo
+            evt_new = evt_new.hi
+        else:
+            ev_lo_new = state["ev_lo"]
+            evt_lo_new = state["ev_thresh_lo"]
 
         all_ics = jnp.concatenate([state["interp_c"][None].astype(x.dtype), ics], axis=0)
         i_ar = jnp.arange(B)
@@ -464,8 +493,11 @@ class Matrix4MbEffect(Effect):
             "bst": bst,
             "bands": bands,
             "env_m": env_m,
+            "env_m_lo": env_m_lo if use_df else state["env_m_lo"],
             "ev_new": ev_new,
+            "ev_lo_new": ev_lo_new,
             "evt_new": evt_new,
+            "evt_lo_new": evt_lo_new,
             "iy_new": iy_new,
             "ics_last": ics[-1],
             "auxs": auxs,
@@ -548,10 +580,13 @@ class Matrix4MbEffect(Effect):
 
         new_state = {
             "ev": ctl["ev_new"],
+            "ev_lo": ctl["ev_lo_new"],
             "ev_thresh": ctl["evt_new"],
+            "ev_thresh_lo": ctl["evt_lo_new"],
             "fshape_m": ctl["fsh_new"].reshape(4, 2),
             "bank": ctl["bst"],
             "env_m": ctl["env_m"],
+            "env_m_lo": ctl["env_m_lo"],
             "interp_y": ctl["iy_new"],
             "interp_c": ctl["ics_last"],
             "fb_buf": fb_buf[-self.fb_buf_len :],

@@ -28,6 +28,19 @@ import numpy as np
 from dsp_tpu.ops.iir import _quick_two_sum, _two_prod, _two_sum
 
 
+def _bar_where(c, a, b):
+    """jnp.where behind an optimization barrier.
+
+    XLA's algebraic simplifier sinks arithmetic into select branches
+    (op(select(c,a,b),y) -> select(c,op(a,y),op(b,y))), which in a dependent
+    chain of df selects duplicates the whole upstream expression per branch —
+    measured 1000x runtime blowups on XLA:CPU for the event engine (and a
+    matching select-count explosion in the optimized HLO). The barrier pins
+    each select in place; semantics (incl. NaN discard) are unchanged."""
+    r = jnp.where(c, a, b)
+    return jax.lax.optimization_barrier(r)
+
+
 def _const_split(v):
     """Host float -> exact (hi, lo) float32 split (numpy, trace-time)."""
     hi = np.float32(v)
@@ -229,11 +242,13 @@ def _df_div(ah, al, bh, bl):
     q1 = (rh + rl) / bh
     # correction is garbage when b is 0/inf/nan or q0 overflowed: keep q0
     valid = jnp.isfinite(q0) & jnp.isfinite(bh) & (bh != 0) & jnp.isfinite(q1)
-    q1 = jnp.where(valid, q1, jnp.zeros_like(q1))
+    q1 = _bar_where(valid, q1, jnp.zeros_like(q1))
     h, l = _quick_two_sum(q0, q1)
     # inf/nan q0 makes quick_two_sum's lo nan (inf - inf); pass (q0, 0) through
     bad = ~jnp.isfinite(q0)
-    return jnp.where(bad, q0, h), jnp.where(bad, jnp.zeros_like(l), l)
+    return jax.lax.optimization_barrier(
+        (jnp.where(bad, q0, h), jnp.where(bad, jnp.zeros_like(l), l))
+    )
 
 
 # --- generic helpers (jnp passthrough on plain arrays) ---
@@ -247,7 +262,10 @@ def where(c, a, b):
     if _any_df(a, b):
         a = _lift(a)
         b = _lift(b)
-        return DF(jnp.where(c, a.hi, b.hi), jnp.where(c, a.lo, b.lo))
+        h, l = jax.lax.optimization_barrier(
+            (jnp.where(c, a.hi, b.hi), jnp.where(c, a.lo, b.lo))
+        )
+        return DF(h, l)
     return jnp.where(c, a, b)
 
 
@@ -280,16 +298,31 @@ def clip(x, lo, hi):
     return jnp.clip(x, lo, hi)
 
 
+def _scatter_stack(parts, axis):
+    """Stack via a chain of .at[i].set instead of one concatenate.
+
+    XLA:CPU's concatenate fusion emitter inlines each operand's WHOLE
+    upstream expression into the concat kernel and (with barrier bitcasts in
+    the way) loses subexpression memoization — a single jnp.stack of four
+    event-engine scalars measured 19.5 s/call where the identical values
+    returned as a tuple cost 0.5 ms. Dynamic-update-slice builds don't hit
+    that emitter path; the copies are tiny (control-rate scalars)."""
+    shp = jnp.broadcast_shapes(*[p.shape for p in parts])
+    parts = [jnp.broadcast_to(p, shp) for p in parts]
+    out = jnp.zeros((len(parts),) + shp, parts[0].dtype)
+    for i, p in enumerate(parts):
+        out = out.at[i].set(p)
+    if axis != 0:
+        out = jnp.moveaxis(out, 0, axis)
+    return out
+
+
 def stack(xs, axis=0):
     if any(isinstance(x, DF) for x in xs):
         xs = [_lift(x) if not isinstance(x, DF) else x for x in xs]
         his = [jnp.asarray(x.hi) for x in xs]
         los = [jnp.asarray(x.lo) for x in xs]
-        # broadcast host-scalar lifts to a common shape before stacking
-        shp = jnp.broadcast_shapes(*[h.shape for h in his])
-        his = [jnp.broadcast_to(h, shp) for h in his]
-        los = [jnp.broadcast_to(l, shp) for l in los]
-        return DF(jnp.stack(his, axis=axis), jnp.stack(los, axis=axis))
+        return DF(_scatter_stack(his, axis), _scatter_stack(los, axis))
     return jnp.stack(xs, axis=axis)
 
 
@@ -302,10 +335,13 @@ def sqrt(x):
     rh, rl = _df_add(x.hi, x.lo, -ph, -pe)
     corr = (rh + rl) / (2.0 * y0)
     ok = (y0 > 0) & jnp.isfinite(y0) & jnp.isfinite(corr)
-    corr = jnp.where(ok, corr, jnp.zeros_like(corr))
+    corr = _bar_where(ok, corr, jnp.zeros_like(corr))
     h, l = _quick_two_sum(y0, corr)
     bad = ~jnp.isfinite(y0)
-    return DF(jnp.where(bad, y0, h), jnp.where(bad, jnp.zeros_like(l), l))
+    h, l = jax.lax.optimization_barrier(
+        (jnp.where(bad, y0, h), jnp.where(bad, jnp.zeros_like(l), l))
+    )
+    return DF(h, l)
 
 
 def zeros_like(x):
@@ -349,7 +385,10 @@ def atan_pos(x):
     big = (x.hi + x.lo) > 1.0
     inv = _lift(1.0) / x
     r = where(big, inv, x)
-    r = DF(jnp.where(jnp.isnan(x.hi), x.hi, r.hi), jnp.where(jnp.isnan(x.hi), x.hi, r.lo))
+    rh, rl = jax.lax.optimization_barrier(
+        (jnp.where(jnp.isnan(x.hi), x.hi, r.hi), jnp.where(jnp.isnan(x.hi), x.hi, r.lo))
+    )
+    r = DF(rh, rl)
     # segment select on r in [0, 1]
     rv = r.hi + r.lo
     out_h = jnp.zeros_like(r.hi)
@@ -368,14 +407,15 @@ def atan_pos(x):
             base_h, base_l = jnp.full_like(r.hi, ath), jnp.full_like(r.lo, atl)
         t = _atan_poly(arg)
         th, tl = _df_add(base_h, base_l, t.hi, t.lo)
-        out_h = jnp.where(m, th, out_h)
-        out_l = jnp.where(m, tl, out_l)
+        out_h, out_l = jax.lax.optimization_barrier(
+            (jnp.where(m, th, out_h), jnp.where(m, tl, out_l))
+        )
     # fold back x > 1: pi/2 - atan(1/x)
     fh, fl = _df_add(
         jnp.full_like(out_h, _PI_2_DF[0]), jnp.full_like(out_l, _PI_2_DF[1]), -out_h, -out_l
     )
-    res_h = jnp.where(big, fh, out_h)
-    res_l = jnp.where(big, fl, out_l)
+    res_h = _bar_where(big, fh, out_h)
+    res_l = _bar_where(big, fl, out_l)
     # NaN passthrough (0/0 inputs; caller guards select these away)
     res_h = jnp.where(jnp.isnan(x.hi), x.hi, res_h)
     res_l = jnp.where(jnp.isnan(x.hi), jnp.zeros_like(res_l), res_l)

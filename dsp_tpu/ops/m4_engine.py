@@ -71,9 +71,9 @@ def time_to_frames(ms, fs):
 
 
 def smoothstep(x):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    x = jnp.clip(x, 0.0, 1.0)
+    x = dx.clip(x, 0.0, 1.0)
     return x * x * (3.0 - 2.0 * x)
 
 
@@ -82,35 +82,44 @@ def _ewma(m, s, g):
 
 
 def _ewma_scale(m, s, g, sf):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    gs = jnp.minimum(g * sf, 0.39)
+    gs = dx.minimum(g * sf, 0.39)
     return m + gs * (s - m)
 
 
 def _ewma_set_max(m, s, g):
     """ewma_run_set_max: smooth upward, jump down (ewma.h:56-61).
     Returns (new_m, output)."""
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
     up = _ewma(m, s, g)
-    new_m = jnp.where(s >= m, up, s)
-    out = jnp.where(s >= m, up, s)
+    c = s >= m
+    new_m = dx.where(c, up, s)
+    out = dx.where(c, up, s)
     return new_m, out
 
 
 def _ewma_scale_asym(m, s, g, rise_sf, fall_sf):
     import jax.numpy as jnp
 
-    sf = jnp.where(s >= m, rise_sf, fall_sf).astype(jnp.result_type(s))
+    from dsp_tpu.ops import dfx as dx
+
+    c = s >= m
+    if dx.is_df(s) or dx.is_df(m) or dx.is_df(rise_sf) or dx.is_df(fall_sf):
+        sf = dx.where(c, rise_sf, fall_sf)
+    else:
+        sf = jnp.where(c, rise_sf, fall_sf).astype(jnp.result_type(s))
     return _ewma_scale(m, s, g, sf)
 
 
 def _angle(n, d, expr):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    return jnp.where(
-        (n < DBL_MIN) & (d < DBL_MIN), M_PI_4, jnp.where(d < DBL_MIN, M_PI_2, jnp.arctan(expr))
+    # expr is always non-negative (ratios of envelopes / sqrt of |ratios|),
+    # so the df path can use the [0, inf] atan reduction (dfx.atan_pos)
+    return dx.where(
+        (n < DBL_MIN) & (d < DBL_MIN), M_PI_4, dx.where(d < DBL_MIN, M_PI_2, dx.atan_pos(expr))
     )
 
 
@@ -122,25 +131,25 @@ calc_cs = calc_lr
 
 
 def _norm_axes(lr, cs):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    abs_sum = jnp.abs(lr) + jnp.abs(cs)
-    norm = jnp.where(abs_sum > M_PI_4, M_PI_4 / jnp.maximum(abs_sum, DBL_MIN), 1.0)
+    abs_sum = dx.absolute(lr) + dx.absolute(cs)
+    norm = dx.where(abs_sum > M_PI_4, M_PI_4 / dx.maximum(abs_sum, DBL_MIN), 1.0)
     return lr * norm, cs * norm
 
 
 def _drift_err_scale(lr0, cs0, lr1, cs1, sens_err):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    lr_err = jnp.abs(lr1 - lr0) * float(2.0 / np.pi)
-    cs_err = jnp.abs(cs1 - cs0) * float(2.0 / np.pi)
+    lr_err = dx.absolute(lr1 - lr0) * float(2.0 / np.pi)
+    cs_err = dx.absolute(cs1 - cs0) * float(2.0 / np.pi)
     return 1.0 + (lr_err + cs_err) * sens_err
 
 
 def _ord_notch_scale(lr, cs):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    z = jnp.maximum((jnp.abs(lr) + jnp.abs(cs)) * (2.0 / M_PI_4) - 1.0, 0.0)
+    z = dx.maximum((dx.absolute(lr) + dx.absolute(cs)) * (2.0 / M_PI_4) - 1.0, 0.0)
     return 1.0 - z * z * 0.99
 
 
@@ -178,9 +187,16 @@ def smf_asym_run(st, s, g0, c0, c1):
     """Simper dynamic smoother (smf.h:58-71). st = (m0, m1)."""
     import jax.numpy as jnp
 
+    from dsp_tpu.ops import dfx as dx
+
     m0, m1 = st
-    c = jnp.where(s > m1, c0, c1).astype(jnp.result_type(s))
-    g = jnp.minimum(g0 + c * jnp.abs(m0 - m1), 0.39)
+    if dx.is_df(m0) and not dx.is_df(s):
+        s = dx.lift(s)
+    if dx.is_df(s) or dx.is_df(m1):
+        cc = dx.where(s > m1, c0, c1)
+    else:
+        cc = jnp.where(s > m1, c0, c1).astype(jnp.result_type(s))
+    g = dx.minimum(g0 + cc * dx.absolute(m0 - m1), 0.39)
     m0 = m0 + g * (s - m0)
     m1 = m1 + g * (m0 - m1)
     return (m0, m1), m1
@@ -200,25 +216,90 @@ def biquad_step(c, m0, m1, s):
 # --- event engine ---
 
 
-def cast_params(p, dtype):
+def cast_params(p, dtype, df=False):
     """Cast float params to the compute dtype at the trace boundary.
 
     Params are host-side numpy float64 scalars/arrays; under float32 compute
     (TPU) they must not leak f64 into scan carries (strict np.float64 scalars
-    promote, unlike weak Python floats). Integer/bool params stay as-is."""
+    promote, unlike weak Python floats). Integer/bool params stay as-is.
+
+    With df=True, float params become exact (hi, lo) double-float pairs
+    (dfx.DF) so the f32 control path keeps the f64 design values."""
     import jax.numpy as jnp
+
+    from dsp_tpu.ops import dfx as dx
 
     out = {}
     for k, v in p.items():
         if isinstance(v, dict):
-            out[k] = cast_params(v, dtype)
+            out[k] = cast_params(v, dtype, df)
             continue
         a = np.asarray(v)
         if np.issubdtype(a.dtype, np.floating):
-            out[k] = jnp.asarray(a, dtype)
+            if df:
+                hi = a.astype(np.float32)
+                lo = (a.astype(np.float64) - hi.astype(np.float64)).astype(np.float32)
+                out[k] = dx.DF(jnp.asarray(hi), jnp.asarray(lo))
+            else:
+                out[k] = jnp.asarray(a, dtype)
         else:
             out[k] = v
     return out
+
+
+def make_event_state_lo(p):
+    """Zero lo-parts (float32) for every float leaf of make_event_state —
+    the second half of the double-float event state carried under f32."""
+    st = make_event_state(p)
+    return {
+        k: np.zeros_like(np.asarray(v), dtype=np.float32)
+        for k, v in st.items()
+        if np.issubdtype(np.asarray(v).dtype, np.floating)
+    }
+
+
+def env_ewma_scan(m0, m0_lo, g, env_in, df):
+    """Audio-rate envelope EWMA prefix over axis 0 (matrix4_common.h:282-295).
+
+    env_in: [B, ...]; m0 (+ m0_lo when df) carry the state across blocks.
+    Returns (m_hi, m_lo, envs) where envs is [B, ...] (DF when df=True).
+    The df path keeps the slow accumulators (~600-sample rise time at the
+    defaults) at ~1e-13 relative accuracy — a plain f32 scan drifts enough
+    to jitter the event engine's threshold comparisons downstream."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsp_tpu.ops import dfx as dx
+
+    if not df:
+
+        def comb(pq, qq):
+            a1, b1 = pq
+            a2, b2 = qq
+            return a2 * a1, a2 * b1 + b2
+
+        a = jnp.full(env_in.shape, 1.0 - g, dtype=env_in.dtype)
+        b = g * env_in
+        aa, bb = jax.lax.associative_scan(comb, (a, b), axis=0)
+        envs = aa * m0[None] + bb
+        return envs[-1], None, envs
+
+    g_df = dx.const(g)
+    ag = dx.const(1.0 - float(np.float64(g)))
+    shp = env_in.shape
+    a = dx.DF(jnp.full(shp, ag.hi), jnp.full(shp, ag.lo))
+    b = g_df * env_in  # DF [B, ...]
+
+    def comb_df(pq, qq):
+        a1, b1 = pq
+        a2, b2 = qq
+        return a2 * a1, a2 * b1 + b2
+
+    aa, bb = jax.lax.associative_scan(comb_df, (a, b), axis=0)
+    m0_df = dx.DF(m0[None], m0_lo[None])
+    envs = aa * m0_df + bb
+    last = envs[-1]
+    return last.hi, last.lo, envs
 
 
 def make_event_params(fs_ds, base_thresh_scale=1.0, base_ord_notch_scale=0.7,
@@ -308,9 +389,15 @@ def make_event_state(p):
 def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     """One control-rate step (process_events_priv). env/pwr_env: dicts with
     l, r, sum, diff scalars. Returns (st', outputs) with outputs containing
-    ax, ax_ev, ax_dpwr, pwrcmp_factor."""
+    ax, ax_ev, ax_dpwr, pwrcmp_factor.
+
+    Runs generically over plain arrays (float64 CPU path) or dfx.DF pairs
+    (float32 TPU path): all float state leaves, env inputs and float params
+    must then be DF; outputs are returned as plain values either way."""
     import jax
     import jax.numpy as jnp
+
+    from dsp_tpu.ops import dfx as dx
 
     s = dict(st)
     L = p["buf_len"]
@@ -320,7 +407,7 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     ord_cs = calc_cs(env["sum"], env["diff"], env["sum"] / env["diff"])
     m0a, m1a, ord_lp_lr = biquad_step(p["ord_lp_c"], st["ord_lp_m"][0, 0], st["ord_lp_m"][0, 1], ord_lr)
     m0b, m1b, ord_lp_cs = biquad_step(p["ord_lp_c"], st["ord_lp_m"][1, 0], st["ord_lp_m"][1, 1], ord_cs)
-    s["ord_lp_m"] = jnp.stack([jnp.stack([m0a, m1a]), jnp.stack([m0b, m1b])])
+    s["ord_lp_m"] = dx.stack([dx.stack([m0a, m1a]), dx.stack([m0b, m1b])])
     ord_lp_d = st["ord_lp_buf"][bp]  # delayed
     ord_ns = st["ord_notch_scale"] * p["base_ord_ns"]
     svf = st["svf_m"]
@@ -328,9 +415,9 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     n2m0, n2m1, notched_lr = svf_pk_run(p["svf2"], svf[2, 0], svf[2, 1], y0, ord_ns)
     n1m0, n1m1, y1 = svf_pk_run(p["svf1"], svf[1, 0], svf[1, 1], ord_lp_d[1], ord_ns)
     n3m0, n3m1, notched_cs = svf_pk_run(p["svf2"], svf[3, 0], svf[3, 1], y1, ord_ns)
-    s["svf_m"] = jnp.stack([
-        jnp.stack([n0m0, n0m1]), jnp.stack([n1m0, n1m1]),
-        jnp.stack([n2m0, n2m1]), jnp.stack([n3m0, n3m1]),
+    s["svf_m"] = dx.stack([
+        dx.stack([n0m0, n0m1]), dx.stack([n1m0, n1m1]),
+        dx.stack([n2m0, n2m1]), dx.stack([n3m0, n3m1]),
     ])
 
     ac = st["accom"]
@@ -342,14 +429,14 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     adapt_r = pwr_env["r"] - out1
     adapt_sum = pwr_env["sum"] - out2
     adapt_diff = pwr_env["diff"] - out3
-    diff_lr = calc_lr(adapt_l, adapt_r, jnp.sqrt(jnp.abs(adapt_l / adapt_r)))
-    diff_cs = calc_cs(adapt_sum, adapt_diff, jnp.sqrt(jnp.abs(adapt_sum / adapt_diff)))
+    diff_lr = calc_lr(adapt_l, adapt_r, dx.sqrt(dx.absolute(adapt_l / adapt_r)))
+    diff_cs = calc_cs(adapt_sum, adapt_diff, dx.sqrt(dx.absolute(adapt_sum / adapt_diff)))
 
-    s["ord_buf"] = st["ord_buf"].at[bp].set(jnp.stack([ord_lr, ord_cs]))
-    s["ord_lp_buf"] = st["ord_lp_buf"].at[bp].set(jnp.stack([ord_lp_lr, ord_lp_cs]))
-    s["diff_buf"] = st["diff_buf"].at[bp].set(jnp.stack([diff_lr, diff_cs]))
+    s["ord_buf"] = st["ord_buf"].at[bp].set(dx.stack([ord_lr, ord_cs]))
+    s["ord_lp_buf"] = st["ord_lp_buf"].at[bp].set(dx.stack([ord_lp_lr, ord_lp_cs]))
+    s["diff_buf"] = st["diff_buf"].at[bp].set(dx.stack([diff_lr, diff_cs]))
 
-    adj = jnp.maximum(1.0 - st["ord_factor"] / 20.0, 0.5)
+    adj = dx.maximum(1.0 - st["ord_factor"] / 20.0, 0.5)
     s["adj"] = adj
     s["ord_factor"] = st["ord_factor"] * p["ord_factor_c"]
 
@@ -359,36 +446,36 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     nrm = st["norm"]
     n2_new = _ewma(nrm[2], l_pwr_xf, p["g_norm_fast"])
     n3_new = _ewma(nrm[3], r_pwr_xf, p["g_norm_fast"])
-    n0_new = _ewma(nrm[0], jnp.abs(l_pwr_xf - n2_new * p["norm_accom_factor"] * adj), p["g_norm"])
-    n1_new = _ewma(nrm[1], jnp.abs(r_pwr_xf - n3_new * p["norm_accom_factor"] * adj), p["g_norm"])
-    s["norm"] = jnp.stack([n0_new, n1_new, n2_new, n3_new])
+    n0_new = _ewma(nrm[0], dx.absolute(l_pwr_xf - n2_new * p["norm_accom_factor"] * adj), p["g_norm"])
+    n1_new = _ewma(nrm[1], dx.absolute(r_pwr_xf - n3_new * p["norm_accom_factor"] * adj), p["g_norm"])
+    s["norm"] = dx.stack([n0_new, n1_new, n2_new, n3_new])
     ac4 = _ewma_scale_asym(ac[4], pwr_env["l"], p["g_accom"], 1.0, p["accom_mask_fall"])
     ac5 = _ewma_scale_asym(ac[5], pwr_env["r"], p["g_accom"], 1.0, p["accom_mask_fall"])
-    s["accom"] = jnp.stack([ac0, ac1, ac2, ac3, ac4, ac5])
-    l_mask = jnp.maximum(pwr_env["l"] - ac4, 0.0)
-    r_mask = jnp.maximum(pwr_env["r"] - ac5, 0.0)
-    l_mask_norm = jnp.where(
-        n0_new >= DBL_MIN, l_mask / n0_new, jnp.where(l_mask < DBL_MIN, 0.0, p["clip_thresh"])
+    s["accom"] = dx.stack([ac0, ac1, ac2, ac3, ac4, ac5])
+    l_mask = dx.maximum(pwr_env["l"] - ac4, 0.0)
+    r_mask = dx.maximum(pwr_env["r"] - ac5, 0.0)
+    l_mask_norm = dx.where(
+        n0_new >= DBL_MIN, l_mask / n0_new, dx.where(l_mask < DBL_MIN, 0.0, p["clip_thresh"])
     )
-    r_mask_norm = jnp.where(
-        n1_new >= DBL_MIN, r_mask / n1_new, jnp.where(r_mask < DBL_MIN, 0.0, p["clip_thresh"])
+    r_mask_norm = dx.where(
+        n1_new >= DBL_MIN, r_mask / n1_new, dx.where(r_mask < DBL_MIN, 0.0, p["clip_thresh"])
     )
-    sm0 = _ewma(st["smooth"][0], jnp.minimum(l_mask_norm, p["clip_thresh"]), p["g_smooth"])
-    sm1 = _ewma(st["smooth"][1], jnp.minimum(r_mask_norm, p["clip_thresh"]), p["g_smooth"])
-    s["smooth"] = jnp.stack([sm0, sm1])
+    sm0 = _ewma(st["smooth"][0], dx.minimum(l_mask_norm, p["clip_thresh"]), p["g_smooth"])
+    sm1 = _ewma(st["smooth"][1], dx.minimum(r_mask_norm, p["clip_thresh"]), p["g_smooth"])
+    s["smooth"] = dx.stack([sm0, sm1])
     sl0 = _ewma(st["slow"][0], sm0, p["g_slow"])
     sl1 = _ewma(st["slow"][1], sm1, p["g_slow"])
-    s["slow"] = jnp.stack([sl0, sl1])
+    s["slow"] = dx.stack([sl0, sl1])
     l_event = (sm0 - sl0) * adj
     r_event = (sm1 - sl1) * adj
     l_slope = l_event - st["last"][0]
     r_slope = r_event - st["last"][1]
-    s["last"] = jnp.stack([l_event, r_event])
-    s["slope_last"] = jnp.stack([l_slope, r_slope])
-    s["diff_last"] = jnp.stack([diff_lr, diff_cs])
-    s["slope_buf"] = st["slope_buf"].at[bp].set(jnp.stack([l_slope, r_slope]))
+    s["last"] = dx.stack([l_event, r_event])
+    s["slope_last"] = dx.stack([l_slope, r_slope])
+    s["diff_last"] = dx.stack([diff_lr, diff_cs])
+    s["slope_buf"] = st["slope_buf"].at[bp].set(dx.stack([l_slope, r_slope]))
     max_d = st["max_buf"][bp]
-    s["max_buf"] = st["max_buf"].at[bp].set(jnp.maximum(l_event, r_event))
+    s["max_buf"] = st["max_buf"].at[bp].set(dx.maximum(l_event, r_event))
     s["pwrcmp_factor"] = _ewma_scale_asym(
         st["pwrcmp_factor"], 1.0 - smoothstep(max_d * p["pcf_sens"]), p["g_pwrcmp"],
         1.0, PWRCMP_RISE_TIME / PWRCMP_FALL_TIME,
@@ -406,8 +493,8 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
 
     # lookback: count how far back the slope keeps increasing (bounded by L)
     sb = s["slope_buf"]
-    sel_slope = jnp.where(
-        new_f1_l & ~new_f1_r, sb[:, 0], jnp.where(new_f1_r & ~new_f1_l, sb[:, 1], sb[:, 0] + sb[:, 1])
+    sel_slope = dx.where(
+        new_f1_l & ~new_f1_r, sb[:, 0], dx.where(new_f1_r & ~new_f1_l, sb[:, 1], sb[:, 0] + sb[:, 1])
     )
     # walk: i = bp-1-j, k = bp-j; continue while slope[i] > slope[k]
     j_idx = jnp.arange(1, L)
@@ -422,14 +509,14 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
         a0, a1, a2, a3 = carry
         idx = (lb_start + j) % L
         use = j < steps
-        a0 = jnp.where(use, _ewma(a0, s["ord_buf"][idx][0], p["g_avg"]), a0)
-        a1 = jnp.where(use, _ewma(a1, s["ord_buf"][idx][1], p["g_avg"]), a1)
-        a2 = jnp.where(use, _ewma(a2, s["diff_buf"][idx][0], p["g_avg"]), a2)
-        a3 = jnp.where(use, _ewma(a3, s["diff_buf"][idx][1], p["g_avg"]), a3)
+        a0 = dx.where(use, _ewma(a0, s["ord_buf"][idx][0], p["g_avg"]), a0)
+        a1 = dx.where(use, _ewma(a1, s["ord_buf"][idx][1], p["g_avg"]), a1)
+        a2 = dx.where(use, _ewma(a2, s["diff_buf"][idx][0], p["g_avg"]), a2)
+        a3 = dx.where(use, _ewma(a3, s["diff_buf"][idx][1], p["g_avg"]), a3)
         return (a0, a1, a2, a3)
 
     ra = jax.lax.fori_loop(0, L, replay_body, (ord_lr, ord_cs, diff_lr, diff_cs))
-    avg_seeded = jnp.stack(ra)
+    avg_seeded = dx.stack(ra)
 
     s["sample"] = jnp.where(trigger, True, st["sample"])
     s["f1_l"] = jnp.where(trigger, new_f1_l, st["f1_l"])
@@ -439,15 +526,15 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     s["t_sample"] = jnp.where(
         tr_fresh, st["t"] - steps, jnp.where(tr_fuse, st["t"] - p["sample_frames"] // 2, st["t_sample"])
     )
-    s["max1"] = jnp.where(tr_fresh, 0.0, st["max1"])
-    s["avg"] = jnp.where(tr_fresh, avg_seeded, st["avg"])
+    s["max1"] = dx.where(tr_fresh, 0.0, st["max1"])
+    s["avg"] = dx.where(tr_fresh, avg_seeded, st["avg"])
 
     # --- sampling phase (matrix4_common.c:611-657) ---
     in_sample = s["sample"]
     av = s["avg"]
-    av = jnp.where(
+    av = dx.where(
         in_sample,
-        jnp.stack([
+        dx.stack([
             _ewma(av[0], ord_lr, p["g_avg"]),
             _ewma(av[1], ord_cs, p["g_avg"]),
             _ewma(av[2], diff_lr, p["g_avg"]),
@@ -456,9 +543,9 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
         av,
     )
     s["avg"] = av
-    s["max1"] = jnp.where(in_sample, jnp.maximum(s["max1"], jnp.maximum(l_event, r_event)), s["max1"])
+    s["max1"] = dx.where(in_sample, dx.maximum(s["max1"], dx.maximum(l_event, r_event)), s["max1"])
     sample_done = in_sample & ((st["t"] - s["t_sample"]) >= p["sample_frames"])
-    use_ord = (jnp.abs(av[2]) + jnp.abs(av[3])) > p["diff_lim"]
+    use_ord = (dx.absolute(av[2]) + dx.absolute(av[3])) > p["diff_lim"]
     f1_use_ord = jnp.where(sample_done, s["f1_use_ord"] | use_ord, s["f1_use_ord"])
     ignore1 = sample_done & s["f1_fuse"] & f1_use_ord & ~st["f0_use_ord"]
     ignore2 = (
@@ -473,10 +560,10 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     s["ignore_count"] = st["ignore_count"] + jnp.where(ignore1 | ignore2, 1, 0)
     s["hold"] = jnp.where(accept, True, st["hold"])
     s["t_hold"] = jnp.where(accept, st["t"], st["t_hold"])
-    dir_lr_new = jnp.where(f1_use_ord, av[0], av[2])
-    dir_cs_new = jnp.where(f1_use_ord, av[1], av[3])
-    s["dir_lr"] = jnp.where(accept, dir_lr_new, st["dir_lr"])
-    s["dir_cs"] = jnp.where(accept, dir_cs_new, st["dir_cs"])
+    dir_lr_new = dx.where(f1_use_ord, av[0], av[2])
+    dir_cs_new = dx.where(f1_use_ord, av[1], av[3])
+    s["dir_lr"] = dx.where(accept, dir_lr_new, st["dir_lr"])
+    s["dir_cs"] = dx.where(accept, dir_cs_new, st["dir_cs"])
     s["ord_factor"] = s["ord_factor"] + (accept & f1_use_ord).astype(s["ord_factor"].dtype)
     s["ord_count"] = st["ord_count"] + jnp.where(accept & f1_use_ord & ~s["f1_fuse"], 1, 0)
     s["diff_count"] = st["diff_count"] + jnp.where(accept & ~f1_use_ord & ~s["f1_fuse"], 1, 0)
@@ -485,10 +572,10 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     s["f0_use_ord"] = jnp.where(accept, f1_use_ord, st["f0_use_ord"])
     s["f0_fuse"] = jnp.where(accept, s["f1_fuse"], st["f0_fuse"])
     s["f0_end"] = jnp.where(accept, False, st["f0_end"])
-    s["max0"] = jnp.where(accept, s["max1"], st["max0"])
+    s["max0"] = dx.where(accept, s["max1"], st["max0"])
     ds_diff_new = 1.0 + smoothstep((s["max1"] - thresh) / (thresh * DIFF_WEIGHT_SCALE)) * DIFF_SENS_WEIGHT
-    s["ds_diff"] = jnp.where(accept, ds_diff_new, st["ds_diff"])
-    ds1 = jnp.where(accept, ds_diff_new * 0.25, st["drift_scale"][1])
+    s["ds_diff"] = dx.where(accept, ds_diff_new, st["ds_diff"])
+    ds1 = dx.where(accept, ds_diff_new * 0.25, st["drift_scale"][1])
 
     # --- hold / drift phase (matrix4_common.c:658-698) ---
     hold = s["hold"]
@@ -518,29 +605,29 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     dp0_nh = _ewma_scale(dp[0], ord_lp_lr, p["g_dpwr_slow"], ds_dpwr)
     dp1_nh = _ewma_scale(dp[1], ord_lp_cs, p["g_dpwr_slow"], ds_dpwr)
 
-    ax_lr = jnp.where(hold, dr2_h, dr0_nh)
-    ax_cs = jnp.where(hold, dr3_h, dr1_nh)
-    ax_ev_lr = jnp.where(hold, dr2_h, 0.0)
-    ax_ev_cs = jnp.where(hold, dr3_h, 0.0)
-    ax_dpwr_lr = jnp.where(hold, dp2_h, dp0_nh)
-    ax_dpwr_cs = jnp.where(hold, dp3_h, dp1_nh)
+    ax_lr = dx.where(hold, dr2_h, dr0_nh)
+    ax_cs = dx.where(hold, dr3_h, dr1_nh)
+    ax_ev_lr = dx.where(hold, dr2_h, 0.0)
+    ax_ev_cs = dx.where(hold, dr3_h, 0.0)
+    ax_dpwr_lr = dx.where(hold, dp2_h, dp0_nh)
+    ax_dpwr_cs = dx.where(hold, dp3_h, dp1_nh)
 
     # on release: seed slow drift from the current axes
-    drift_new = jnp.stack([
-        jnp.where(release, ax_lr, jnp.where(hold, dr[0], dr0_nh)),
-        jnp.where(release, ax_cs, jnp.where(hold, dr[1], dr1_nh)),
-        jnp.where(hold, dr2_h, ax_lr),
-        jnp.where(hold, dr3_h, ax_cs),
+    drift_new = dx.stack([
+        dx.where(release, ax_lr, dx.where(hold, dr[0], dr0_nh)),
+        dx.where(release, ax_cs, dx.where(hold, dr[1], dr1_nh)),
+        dx.where(hold, dr2_h, ax_lr),
+        dx.where(hold, dr3_h, ax_cs),
     ])
     s["drift"] = drift_new
     # after each step dpwr[0]==dpwr[2] and dpwr[1]==dpwr[3]: the running pair
     # is copied into the other via ewma_set (matrix4_common.c:678-679,696-697)
-    dpwr_lr_new = jnp.where(hold, dp2_h, dp0_nh)
-    dpwr_cs_new = jnp.where(hold, dp3_h, dp1_nh)
-    s["drift_dpwr"] = jnp.stack([dpwr_lr_new, dpwr_cs_new, dpwr_lr_new, dpwr_cs_new])
-    s["drift_scale"] = jnp.stack([
-        jnp.where(release, 1.0, jnp.where(hold, st["drift_scale"][0], ds0_new)),
-        jnp.where(hold, ds_diff_run, ds1),
+    dpwr_lr_new = dx.where(hold, dp2_h, dp0_nh)
+    dpwr_cs_new = dx.where(hold, dp3_h, dp1_nh)
+    s["drift_dpwr"] = dx.stack([dpwr_lr_new, dpwr_cs_new, dpwr_lr_new, dpwr_cs_new])
+    s["drift_scale"] = dx.stack([
+        dx.where(release, 1.0, dx.where(hold, st["drift_scale"][0], ds0_new)),
+        dx.where(hold, ds_diff_run, ds1),
     ])
     s["hold"] = jnp.where(release, False, s["hold"])
 
@@ -549,20 +636,22 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     ons_new, _ = _ewma_set_max(st["ord_notch_scale"], _ord_notch_scale(ax_lr_n, ax_cs_n), p["g_ord_notch_scale"])
     s["ord_notch_scale"] = ons_new
     ds_ord_thresh = thresh * ORD_WEIGHT_THRESH
-    x_w = (jnp.maximum(sm0, sm1) - ds_ord_thresh) / (thresh * 1.5 - ds_ord_thresh)
+    x_w = (dx.maximum(sm0, sm1) - ds_ord_thresh) / (thresh * 1.5 - ds_ord_thresh)
     s["ds_ord_buf"] = s["ds_ord_buf"].at[bp].set(
-        jnp.where(
+        dx.where(
             (sm0 > ds_ord_thresh) | (sm1 > ds_ord_thresh), smoothstep(x_w) * ORD_SENS_WEIGHT + 1.0, 1.0
         )
     )
     s["t"] = st["t"] + 1
     s["buf_p"] = (bp + 1) % L
 
+    # outputs are plain values in both modes (callers' matrix math is smooth
+    # in the axes, so f32 there costs ~-140 dBFS — not worth df transcendentals)
     out = {
-        "ax_lr": ax_lr_n, "ax_cs": ax_cs_n,
-        "ax_ev_lr": ax_ev_lr, "ax_ev_cs": ax_ev_cs,
-        "ax_dpwr_lr": ax_dpwr_lr_n, "ax_dpwr_cs": ax_dpwr_cs_n,
-        "pwrcmp_factor": s["pwrcmp_factor"],
+        "ax_lr": dx.value(ax_lr_n), "ax_cs": dx.value(ax_cs_n),
+        "ax_ev_lr": dx.value(ax_ev_lr), "ax_ev_cs": dx.value(ax_ev_cs),
+        "ax_dpwr_lr": dx.value(ax_dpwr_lr_n), "ax_dpwr_cs": dx.value(ax_dpwr_cs_n),
+        "pwrcmp_factor": dx.value(s["pwrcmp_factor"]),
         "hold": s["hold"],
     }
     return s, out
