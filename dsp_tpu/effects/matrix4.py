@@ -305,6 +305,18 @@ class Matrix4Effect(Effect):
         self._statusline = None
         self._signal_flag = False
 
+    def _bp_plan(self, block):
+        """Blocked-kernel plan for the hp500+lp5k band-limit cascade (f32
+        path). L=128 when the block fits the chunked kernel, else L=1 (the
+        same kernel degenerates into a per-sample Kogge-Stone df scan)."""
+        L = iir.BLOCKED_L if (block % iir.BLOCKED_L == 0 and block >= 2 * iir.BLOCKED_L) else 1
+        plans = getattr(self, "_bp_plans", None)
+        if plans is None:
+            plans = self._bp_plans = {}
+        if L not in plans:
+            plans[L] = iir.CascadeBlockedPlan([self.bp_c[:, :2], self.bp_c[:, 2:]], L=L)
+        return plans[L]
+
     @staticmethod
     def _dyn_shelf_params(fs, f0):
         w0 = 2 * np.pi * f0 / fs
@@ -332,7 +344,10 @@ class Matrix4Effect(Effect):
             "ev_lo": m4.make_event_state_lo(p),
             "env_m_lo": np.zeros(8, dtype=np.float32),
             "bg_cs_lo": np.zeros(2, dtype=np.float32),
-            "bp_m": np.zeros((4, 2)),  # band-limit biquad memories
+            "bp_m": np.zeros((4, 2)),  # band-limit biquad memories (f64 path)
+            # f32 path: hp+lp cascade as one blocked-kernel state (hi, lo)
+            # in the coupled basis ([2, lanes, 4], iir.CascadeBlockedPlan)
+            "bpc": np.zeros((2, 2, 4)),
             "env_m": np.zeros(8),  # envelope EWMAs
             "bg_cs": np.array([1.0, 1.0]),  # smf state (m0, m1)
             "interp_y": np.tile(init_interp, (4, 1)),  # parabolic window
@@ -380,6 +395,8 @@ class Matrix4Effect(Effect):
         import jax
         import jax.numpy as jnp
 
+        from dsp_tpu.ops import dfx as dx
+
         B = x.shape[0]
         D = m4.DOWNSAMPLE_FACTOR
         Nc = B // D
@@ -387,15 +404,31 @@ class Matrix4Effect(Effect):
         c0, c1 = cfg.c0, cfg.c1
         s0 = x[:, c0]
         s1 = x[:, c1]
+        use_df = x.dtype == jnp.float32
 
-        # band-limit via 4-lane biquad cascade (hp then lp per channel)
-        cbp = jnp.asarray(self.bp_c, dtype=x.dtype)
-        A_hp, B_hp, c0_hp = iir.biquad_coeffs_to_ss(cbp[:, :2])
-        A_lp, B_lp, c0_lp = iir.biquad_coeffs_to_ss(cbp[:, 2:])
+        # band-limit via biquad cascade (hp then lp per channel)
         lanes = jnp.stack([s0, s1], axis=1)
-        st_hp, y_hp = iir.biquad_scan(A_hp, B_hp, c0_hp, state["bp_m"][:2], lanes)
-        st_lp, y_bp = iir.biquad_scan(A_lp, B_lp, c0_lp, state["bp_m"][2:], y_hp)
-        bp_m = jnp.concatenate([st_hp, st_lp], axis=0)
+        if use_df:
+            # the envelopes feed threshold comparisons in the event engine, so
+            # the band-limit filters must hold df accuracy too: run the hp+lp
+            # cascade through the blocked kernel (host f64 matrix powers,
+            # compensated f32) — an L=1 plan serves blocks the 128-chunk
+            # kernel can't take. The output stays an uncollapsed (hi, lo)
+            # pair: collapsing to f32 here leaves ~2e-7 correlated filter
+            # error that the engine amplifies to ~1e-6 on the steering axes.
+            bpc_new, (ybp_hi, ybp_lo) = iir.lti_blocked_df(
+                self._bp_plan(B), state["bpc"], lanes
+            )
+            y_bp = dx.DF(ybp_hi, ybp_lo)
+            bp_m = state["bp_m"]
+        else:
+            cbp = jnp.asarray(self.bp_c, dtype=x.dtype)
+            A_hp, B_hp, c0_hp = iir.biquad_coeffs_to_ss(cbp[:, :2])
+            A_lp, B_lp, c0_lp = iir.biquad_coeffs_to_ss(cbp[:, 2:])
+            st_hp, y_hp = iir.biquad_scan(A_hp, B_hp, c0_hp, state["bp_m"][:2], lanes)
+            st_lp, y_bp = iir.biquad_scan(A_lp, B_lp, c0_lp, state["bp_m"][2:], y_hp)
+            bp_m = jnp.concatenate([st_hp, st_lp], axis=0)
+            bpc_new = state["bpc"]
         l_bp = y_bp[:, 0]
         r_bp = y_bp[:, 1]
 
@@ -405,15 +438,12 @@ class Matrix4Effect(Effect):
         # (hi, lo f32 pairs, dsp_tpu.ops.dfx): a plain f32 control path drifts
         # and jitters the event decisions to ~-95 dBFS free-running vs the C
         # double build; df restores <= -120 (the audio path is fine in f32).
-        from dsp_tpu.ops import dfx as dx
-
-        use_df = x.dtype == jnp.float32
         sum_ = l_bp + r_bp
         diff = l_bp - r_bp
-        env_in = jnp.stack(
-            [jnp.abs(l_bp), jnp.abs(r_bp), jnp.abs(sum_), jnp.abs(diff),
+        env_in = dx.stack(
+            [dx.absolute(l_bp), dx.absolute(r_bp), dx.absolute(sum_), dx.absolute(diff),
              l_bp * l_bp, r_bp * r_bp, sum_ * sum_, diff * diff], axis=1,
-        )  # [B, 8]
+        )  # [B, 8] (DF under f32)
         env_m, env_m_lo, envs = m4.env_ewma_scan(
             state["env_m"].astype(x.dtype),
             state["env_m_lo"] if use_df else None,
@@ -443,15 +473,24 @@ class Matrix4Effect(Effect):
             env = {"l": e8[0], "r": e8[1], "sum": e8[2], "diff": e8[3]}
             pwr = {"l": e8[4], "r": e8[5], "sum": e8[6], "diff": e8[7]}
             ev, out = m4.event_step(p, ev, env, pwr, 1.0)
+            # under f32 the engine outputs are DF and the whole coefficient
+            # computation below runs in df (the calc_* functions are
+            # dx-generic); vals collapse to f32 only at the interp insert
             w_step = m4.smoothstep(out["ax_cs"] * (-2.0 / m4.M_PI_4))
             bg, w1 = m4.smf_asym_run(bg, w_step + 1.0, self.bg_g0, self.bg_c0, self.bg_c1)
-            w = dx.value(w1) - 1.0
+            w = w1 - 1.0
             surr_mult = (w * cfg.surr_mult[1] + (1.0 - w) * cfg.surr_mult[0]) * fade
             ct_pcf = cfg.contour_pwrcmp * out["pwrcmp_factor"]
             shelf_ct0 = w + (1.0 - w) * self.shelf_mult
             shelf_ct1 = (shelf_ct0 - 1.0) * ct_pcf + 1.0
             lp_ct0 = w + (1.0 - w) * self.lowpass_mult
-            lp_ct1 = (lp_ct0 - 1.0) * jnp.power(jnp.maximum(ct_pcf, m4.DBL_MIN), 1.0 / self.shelf_mult) + 1.0
+            # non-integer power: f32 suffices (smooth gain modulator, no
+            # accumulation); lift back for the df products around it
+            pw_base = dx.maximum(ct_pcf, m4.DBL_MIN)
+            pw = jnp.power(dx.value(pw_base), 1.0 / self.shelf_mult)
+            if dx.is_df(ct_pcf):
+                pw = dx.lift(pw)
+            lp_ct1 = (lp_ct0 - 1.0) * pw + 1.0
             dp_lr = out["ax_dpwr_lr"] if cfg.do_dpwr_decouple else out["ax_lr"]
             dp_cs = out["ax_dpwr_cs"] if cfg.do_dpwr_decouple else out["ax_cs"]
             m, rets = calc(
@@ -460,19 +499,19 @@ class Matrix4Effect(Effect):
                 [surr_mult * shelf_ct1, surr_mult * shelf_ct1 * lp_ct1],
             )
             g_surr_shelf = shelf_ct0 / shelf_ct1 * rets[0][1]
-            g_surr_lp = lp_ct0 / lp_ct1 * rets[1][1] / jnp.maximum(rets[0][1], m4.DBL_MIN)
+            g_surr_lp = lp_ct0 / lp_ct1 * rets[1][1] / dx.maximum(rets[0][1], m4.DBL_MIN)
             g_front_shelf = rets[0][0]
             g_front_lp = rets[1][0] / rets[0][0]
             pf_pos = m4.phase_flip_pos_rs(out["ax_lr"], out["ax_cs"])
             pf0 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, 1.0 - pf_pos)
             pf1 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, pf_pos)
             amb, dire = m4.surr_direct_pan(out["ax_lr"], out["ax_cs"])
-            vals = jnp.stack([
+            vals = dx.value(dx.stack([
                 m["ll"], m["lr"], m["rl"], m["rr"],
                 m["lsl"], m["lsr"], m["rsl"], m["rsr"],
                 g_surr_shelf, g_surr_lp, g_front_shelf, g_front_lp,
                 pf0, pf1, amb, dire,
-            ])
+            ]))
             # parabolic 2x interpolator insert (matrix4_common.h:358-367)
             iy = jnp.concatenate([iy[1:], vals[None]], axis=0)
             ia = iy[2] - iy[0]
@@ -480,7 +519,7 @@ class Matrix4Effect(Effect):
             ic1 = 0.5 * ia
             ic2 = 0.25 * (iy[3] - iy[1] - ia)
             ic = jnp.stack([ic0, ic1, ic2])
-            aux = jnp.stack([out["ax_lr"], out["ax_cs"], out["ax_ev_lr"], out["ax_ev_cs"]])
+            aux = dx.value(dx.stack([out["ax_lr"], out["ax_cs"], out["ax_ev_lr"], out["ax_ev_cs"]]))
             return (ev, bg, iy), (ic, aux)
 
         if use_df:
@@ -516,6 +555,7 @@ class Matrix4Effect(Effect):
             "ev": ev_new,
             "ev_lo": ev_lo_new,
             "bp_m": bp_m,
+            "bpc": bpc_new,
             "env_m": env_m,
             "env_m_lo": env_m_lo if use_df else state["env_m_lo"],
             "bg_cs": jnp.stack([bg_new[0], bg_new[1]]),

@@ -435,6 +435,8 @@ class Matrix4MbEffect(Effect):
             env = {"l": e8[:, 0], "r": e8[:, 1], "sum": e8[:, 2], "diff": e8[:, 3]}
             pwr = {"l": e8[:, 4], "r": e8[:, 5], "sum": e8[:, 6], "diff": e8[:, 7]}
             ev, out = ev_step_band(p, ev, env, pwr, evt_new * (1.0 / m4.EVENT_THRESH))
+            # engine outputs (DF under f32) stay df through the coefficient
+            # computation; vals collapse to f32 at the interp insert
             w = m4.smoothstep(out["ax_cs"] * (-2.0 / m4.M_PI_4))
             surr_mult = (w * cfg.surr_mult[1] + (1.0 - w) * cfg.surr_mult[0]) * fade
             ct_pcf = cfg.contour_pwrcmp * out["pwrcmp_factor"]
@@ -451,15 +453,15 @@ class Matrix4MbEffect(Effect):
             pf0 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, 1.0 - pf_pos)
             pf1 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, pf_pos)
             amb, dire = m4.surr_direct_pan(out["ax_lr"], out["ax_cs"])
-            vals = jnp.stack(
+            vals = dx.value(dx.stack(
                 [m["ll"], m["lr"], m["rl"], m["rr"],
                  m["lsl"] * ct2, m["lsr"] * ct2, m["rsl"] * ct2, m["rsr"] * ct2,
                  pf0, pf1, amb, dire], axis=1,
-            )  # [NB, N_SIG]
+            ))  # [NB, N_SIG]
             iy = jnp.concatenate([iy[1:], vals[None]], axis=0)
             ia = iy[2] - iy[0]
             ic = jnp.stack([0.5 * iy[1] + 0.25 * (iy[0] + iy[2]), 0.5 * ia, 0.25 * (iy[3] - iy[1] - ia)])
-            aux = jnp.stack([out["ax_lr"], out["ax_cs"]], axis=1)  # [NB, 2]
+            aux = dx.value(dx.stack([out["ax_lr"], out["ax_cs"]], axis=1))  # [NB, 2]
             return (ev, evt_new, iy), (ic, aux)
 
         if use_df:

@@ -63,6 +63,46 @@ def _lift(x):
     return DF(x, jnp.zeros_like(x))
 
 
+def _is_traced(x):
+    try:
+        from jax.core import Tracer
+    except ImportError:  # newer jax layouts
+        from jax.extend.core import Tracer  # pragma: no cover
+    return isinstance(x, Tracer)
+
+
+def _zero_of(x):
+    # a runtime zero the compiler cannot prove zero: algsimp keeps `x - x`
+    # (NaN-unsafe to fold), so adding it to a constant makes the constant a
+    # runtime value without changing it. NaN/inf anchors poison the result,
+    # but every such site in the engine is already select-guarded.
+    a = x if jnp.ndim(x) == 0 else x.reshape(-1)[0]
+    return a - a
+
+
+def _opaque(c, anchor_hi):
+    z = _zero_of(anchor_hi)
+    return DF(c.hi + z, c.lo + z)
+
+
+def _pair(a, b):
+    """Lift + make any CONSTANT operand opaque when the other is traced.
+
+    XLA's algebraic simplifier merges constants through float add/sub chains
+    (sub(add(x, c1), c2) -> add(x, c1 - c2)) — exact over reals but fatal to
+    the error-free transforms (it zeroed the engine's `1.0 - alpha`
+    cancellation term entirely). Runtime-only expressions are left alone, so
+    hiding constants behind a runtime zero restores faithful semantics."""
+    b = _lift(b)
+    at = _is_traced(a.hi)
+    bt = _is_traced(b.hi)
+    if at and not bt:
+        b = _opaque(b, a.hi)
+    elif bt and not at:
+        a = _opaque(a, b.hi)
+    return a, b
+
+
 def is_df(x):
     return isinstance(x, DF)
 
@@ -115,40 +155,41 @@ class DF:
     def __repr__(self):
         return f"DF(hi={self.hi!r}, lo={self.lo!r})"
 
-    # --- arithmetic ---
+    # --- arithmetic (operands go through _pair: constants become opaque
+    # runtime values so XLA's constant reassociation can't fold the EFTs) ---
 
     def __add__(self, o):
-        o = _lift(o)
-        h, l = _df_add(self.hi, self.lo, o.hi, o.lo)
+        s, o = _pair(self, o)
+        h, l = _df_add(s.hi, s.lo, o.hi, o.lo)
         return DF(h, l)
 
     __radd__ = __add__
 
     def __sub__(self, o):
-        o = _lift(o)
-        h, l = _df_add(self.hi, self.lo, -o.hi, -o.lo)
+        s, o = _pair(self, o)
+        h, l = _df_add(s.hi, s.lo, -o.hi, -o.lo)
         return DF(h, l)
 
     def __rsub__(self, o):
-        o = _lift(o)
-        h, l = _df_add(o.hi, o.lo, -self.hi, -self.lo)
+        s, o = _pair(self, o)
+        h, l = _df_add(o.hi, o.lo, -s.hi, -s.lo)
         return DF(h, l)
 
     def __mul__(self, o):
-        o = _lift(o)
-        h, l = _df_mul(self.hi, self.lo, o.hi, o.lo)
+        s, o = _pair(self, o)
+        h, l = _df_mul(s.hi, s.lo, o.hi, o.lo)
         return DF(h, l)
 
     __rmul__ = __mul__
 
     def __truediv__(self, o):
-        o = _lift(o)
-        h, l = _df_div(self.hi, self.lo, o.hi, o.lo)
+        s, o = _pair(self, o)
+        h, l = _df_div(s.hi, s.lo, o.hi, o.lo)
         return DF(h, l)
 
     def __rtruediv__(self, o):
-        o = _lift(o)
-        h, l = _df_div(o.hi, o.lo, self.hi, self.lo)
+        s, o = _pair(self, o)
+        h, l = _df_div(o.hi, o.lo, s.hi, s.lo)
         return DF(h, l)
 
     def __neg__(self):
@@ -306,7 +347,14 @@ def _scatter_stack(parts, axis):
     the way) loses subexpression memoization — a single jnp.stack of four
     event-engine scalars measured 19.5 s/call where the identical values
     returned as a tuple cost 0.5 ms. Dynamic-update-slice builds don't hit
-    that emitter path; the copies are tiny (control-rate scalars)."""
+    that emitter path; the copies are tiny (control-rate scalars).
+
+    Only XLA:CPU has this emitter; on TPU the dynamic-update-slice chain is
+    the slower construct, so other backends keep the plain concatenate."""
+    if jax.default_backend() == "cpu":
+        pass
+    else:
+        return jnp.stack(parts, axis=axis)
     shp = jnp.broadcast_shapes(*[p.shape for p in parts])
     parts = [jnp.broadcast_to(p, shp) for p in parts]
     out = jnp.zeros((len(parts),) + shp, parts[0].dtype)
@@ -348,6 +396,99 @@ def zeros_like(x):
     if isinstance(x, DF):
         return DF(jnp.zeros_like(x.hi), jnp.zeros_like(x.lo))
     return jnp.zeros_like(x)
+
+
+def full_like(x, v):
+    if isinstance(x, DF):
+        hi, lo = _const_split(float(v))
+        return DF(jnp.full_like(x.hi, hi), jnp.full_like(x.lo, lo))
+    return jnp.full_like(x, v)
+
+
+def ones_like(x):
+    if isinstance(x, DF):
+        return full_like(x, 1.0)
+    return jnp.ones_like(x)
+
+
+# --- trig/exp for the matrix-coefficient path --------------------------------
+#
+# The steering-matrix computation (matrix4_common.c:718-978) is smooth in the
+# axes but has sensitivity pockets (tan near the +-pi/4 edges, normalization
+# divides); in plain f32 those amplify axis rounding to ~-113 dBFS on the
+# output. Arguments are bounded (|x| <= ~pi for trig; exp arguments ~[-9, 1]),
+# so one quadrant/ln2 reduction plus a short Taylor series reaches df
+# accuracy.
+
+_PI_2_SPLIT = _const_split(float(np.pi / 2.0))
+_LN2_SPLIT = _const_split(float(np.log(2.0)))
+
+import math as _math
+
+_SIN_COEFS = [((-1.0) ** k) / float(_math.factorial(2 * k + 1)) for k in range(9)]
+_COS_COEFS = [((-1.0) ** k) / float(_math.factorial(2 * k)) for k in range(9)]
+_EXP_COEFS = [1.0 / float(_math.factorial(k)) for k in range(14)]
+
+
+def _poly_even(r2, coefs):
+    acc = _lift(coefs[-1])
+    for c in reversed(coefs[:-1]):
+        acc = acc * r2 + _lift(c)
+    return acc
+
+
+def _sin_cos_reduced(x):
+    """(sin, cos, k) after reducing x = k*(pi/2) + r, |r| <= pi/4."""
+    xv = x.hi + x.lo
+    k = jnp.round(xv / np.float32(np.pi / 2.0))
+    kdf = DF(k, jnp.zeros_like(k))
+    r = x - kdf * DF(_PI_2_SPLIT[0], _PI_2_SPLIT[1])
+    r2 = r * r
+    s = r * _poly_even(r2, _SIN_COEFS)
+    c = _poly_even(r2, _COS_COEFS)
+    return s, c, k.astype(jnp.int32)
+
+
+def sin(x):
+    if not isinstance(x, DF):
+        return jnp.sin(x)
+    s, c, k = _sin_cos_reduced(x)
+    q = jnp.mod(k, 4)
+    r = where(q == 0, s, where(q == 1, c, where(q == 2, -s, -c)))
+    return r
+
+
+def cos(x):
+    if not isinstance(x, DF):
+        return jnp.cos(x)
+    s, c, k = _sin_cos_reduced(x)
+    q = jnp.mod(k, 4)
+    r = where(q == 0, c, where(q == 1, -s, where(q == 2, -c, s)))
+    return r
+
+
+def tan(x):
+    if not isinstance(x, DF):
+        return jnp.tan(x)
+    s, c, k = _sin_cos_reduced(x)
+    q = jnp.mod(k, 2)
+    # tan(x) = s/c in even quadrants, -c/s in odd
+    return where(q == 0, s / c, -(c / s))
+
+
+def exp(x):
+    if not isinstance(x, DF):
+        return jnp.exp(x)
+    xv = x.hi + x.lo
+    k = jnp.round(xv / np.float32(np.log(2.0)))
+    kdf = DF(k, jnp.zeros_like(k))
+    r = x - kdf * DF(_LN2_SPLIT[0], _LN2_SPLIT[1])
+    e = _poly_even(r, _EXP_COEFS)  # plain Horner in r (odd+even terms)
+    # exact 2^k by exponent-field construction — jnp.exp2 is an approximation
+    # that misses integer powers by several ULPs (measured 5e-7 rel at k=-13)
+    ki = jnp.clip(k.astype(jnp.int32), -126, 127)
+    scale = jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+    return DF(e.hi * scale, e.lo * scale)
 
 
 # --- atan for non-negative arguments -----------------------------------------
@@ -400,20 +541,22 @@ def atan_pos(x):
         m = (rv >= lo_edge) & (rv < hi_edge)
         if c == 0.0:
             arg = r
-            base_h, base_l = jnp.zeros_like(r.hi), jnp.zeros_like(r.lo)
+            base = None
         else:
-            cdf = DF(jnp.full_like(r.hi, ch), jnp.full_like(r.lo, cl))
-            arg = (r - cdf) / (_lift(1.0) + cdf * r)
-            base_h, base_l = jnp.full_like(r.hi, ath), jnp.full_like(r.lo, atl)
+            cdf = DF(ch, cl)
+            arg = (r - cdf) / (cdf * r + 1.0)
+            base = DF(ath, atl)
         t = _atan_poly(arg)
-        th, tl = _df_add(base_h, base_l, t.hi, t.lo)
+        tt = t if base is None else base + t
+        th = jnp.broadcast_to(tt.hi, r.hi.shape)
+        tl = jnp.broadcast_to(tt.lo, r.lo.shape)
         out_h, out_l = jax.lax.optimization_barrier(
             (jnp.where(m, th, out_h), jnp.where(m, tl, out_l))
         )
     # fold back x > 1: pi/2 - atan(1/x)
-    fh, fl = _df_add(
-        jnp.full_like(out_h, _PI_2_DF[0]), jnp.full_like(out_l, _PI_2_DF[1]), -out_h, -out_l
-    )
+    fdf = DF(_PI_2_DF[0], _PI_2_DF[1]) - DF(out_h, out_l)
+    fh = jnp.broadcast_to(fdf.hi, out_h.shape)
+    fl = jnp.broadcast_to(fdf.lo, out_l.shape)
     res_h = _bar_where(big, fh, out_h)
     res_l = _bar_where(big, fl, out_l)
     # NaN passthrough (0/0 inputs; caller guards select these away)

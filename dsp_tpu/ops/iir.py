@@ -208,29 +208,43 @@ def make_identity_biquad(channels, dtype=np.float64):
 _SPLIT32 = np.float32(4097.0)  # 2**12 + 1: Dekker split constant for f32
 
 
+# Every error-free transform below hides its cancellation intermediates
+# behind jax.lax.optimization_barrier: XLA's algebraic simplifier rewrites
+# float expressions like `a - (a - b) -> b` and `(a + b) - a -> b` (exact in
+# reals, catastrophic for EFTs), silently zeroing the error terms once ops
+# fuse under jit. Measured: matrix4's phasor path lost its whole df
+# correction (1.09e-4 absolute) until `--xla_disable_hlo_passes=algsimp`
+# confirmed the simplifier as the culprit. Barriers pin the values without
+# runtime cost and work on every backend (TPU runs the same pass).
+
+
+def _bar(x):
+    return jax.lax.optimization_barrier(x)
+
+
 def _two_sum(a, b):
     s = a + b
-    bb = s - a
-    err = (a - (s - bb)) + (b - bb)
+    bb = _bar(s - a)
+    err = (a - _bar(s - bb)) + (b - bb)
     return s, err
 
 
 def _quick_two_sum(a, b):
     # requires |a| >= |b| (holds after a product/sum of normalized pairs)
     s = a + b
-    return s, b - (s - a)
+    return s, b - _bar(s - a)
 
 
 def _two_prod(a, b):
     # Dekker: exact a*b = p + err using split halves (no FMA dependence)
     p = a * b
     ca = _SPLIT32 * a
-    ahi = ca - (ca - a)
-    alo = a - ahi
+    ahi = ca - _bar(ca - a)
+    alo = a - _bar(ahi)
     cb = _SPLIT32 * b
-    bhi = cb - (cb - b)
-    blo = b - bhi
-    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    bhi = cb - _bar(cb - b)
+    blo = b - _bar(bhi)
+    err = ((ahi * bhi - _bar(p)) + ahi * blo + alo * bhi) + alo * blo
     return p, err
 
 
@@ -539,7 +553,17 @@ def lti_blocked(plan, state, x):
         return _lti_blocked_impl(plan, state, x)
 
 
-def _lti_blocked_impl(plan, state, x):
+def lti_blocked_df(plan, state, x):
+    """Like lti_blocked but returns the output as an uncollapsed (hi, lo)
+    pair under f32 — for consumers whose downstream runs in double-float
+    (matrix4's envelope chain: collapsing to f32 leaves ~2e-7 correlated
+    filter error that the event engine amplifies to ~1e-6 axis error).
+    Returns (state', (y_hi, y_lo)); under f64 y_lo is zeros."""
+    with jax.default_matmul_precision("float32"):
+        return _lti_blocked_impl(plan, state, x, df_out=True)
+
+
+def _lti_blocked_impl(plan, state, x, df_out=False):
     B, C = x.shape
     L = plan.L
     n = plan.n
@@ -548,7 +572,10 @@ def _lti_blocked_impl(plan, state, x):
     xc = x.reshape(Nc, L, C)
     c0 = jnp.asarray(plan.c0, dtype=dt)
     if dt == jnp.float32:
-        G = 8
+        # L=1 plans double as a per-sample df scan (Kogge-Stone over samples
+        # with host-precomputed A^(2^l)) for blocks the 128-chunk kernel
+        # can't take; the W-matmul chunking needs G | L
+        G = 8 if L % 8 == 0 else 1
         T = L // G
         zp_h = jnp.einsum(
             "cigt,ngtc->ngic", jnp.asarray(plan.W_hi.reshape(C, L, G, T)),
@@ -594,6 +621,9 @@ def _lti_blocked_impl(plan, state, x):
         )
         yh, ylo = _two_prod(c0, xc)
         yh, ylo = _df_add(yh, ylo, zh, zl)
+        if df_out:
+            yh2, yl2 = _quick_two_sum(yh, ylo + yc)
+            return jnp.stack([sh[-1], sl[-1]]), (yh2.reshape(B, C), yl2.reshape(B, C))
         y = yh + (ylo + yc)
         return jnp.stack([sh[-1], sl[-1]]), y.reshape(B, C)
     z = jnp.einsum("cij,njc->nic", jnp.asarray(plan.W, dtype=dt), xc, preferred_element_type=dt)
@@ -608,7 +638,11 @@ def _lti_blocked_impl(plan, state, x):
     s_end = (Mp @ s0[None, ..., None])[..., 0] + vp
     s_start = jnp.concatenate([s0[None], s_end[:-1]], axis=0)
     y = c0 * xc + jnp.einsum("clk,nck->nlc", P, s_start) + z
-    return jnp.stack([s_end[-1], jnp.zeros_like(s_end[-1])]), y.reshape(B, C)
+    st_out = jnp.stack([s_end[-1], jnp.zeros_like(s_end[-1])])
+    if df_out:
+        yr = y.reshape(B, C)
+        return st_out, (yr, jnp.zeros_like(yr))
+    return st_out, y.reshape(B, C)
 
 
 # --- single-biquad blocked plan: a one-stage cascade ------------------------

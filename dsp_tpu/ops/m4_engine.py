@@ -645,13 +645,15 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     s["t"] = st["t"] + 1
     s["buf_p"] = (bp + 1) % L
 
-    # outputs are plain values in both modes (callers' matrix math is smooth
-    # in the axes, so f32 there costs ~-140 dBFS — not worth df transcendentals)
+    # outputs keep the carry precision (DF under f32): the matrix-coefficient
+    # computation downstream has sensitivity pockets (tan edges, small
+    # normalization divides) that amplify f32 axis rounding to ~-113 dBFS,
+    # so it too runs in df (calc_matrix_coefs_* are dx-generic)
     out = {
-        "ax_lr": dx.value(ax_lr_n), "ax_cs": dx.value(ax_cs_n),
-        "ax_ev_lr": dx.value(ax_ev_lr), "ax_ev_cs": dx.value(ax_ev_cs),
-        "ax_dpwr_lr": dx.value(ax_dpwr_lr_n), "ax_dpwr_cs": dx.value(ax_dpwr_cs_n),
-        "pwrcmp_factor": dx.value(s["pwrcmp_factor"]),
+        "ax_lr": ax_lr_n, "ax_cs": ax_cs_n,
+        "ax_ev_lr": ax_ev_lr, "ax_ev_cs": ax_ev_cs,
+        "ax_dpwr_lr": ax_dpwr_lr_n, "ax_dpwr_cs": ax_dpwr_cs_n,
+        "pwrcmp_factor": s["pwrcmp_factor"],
         "hold": s["hold"],
     }
     return s, out
@@ -661,28 +663,36 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
 
 
 def _pwr_sum(a, b):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    return jnp.sqrt(a * a + b * b)
+    return dx.sqrt(a * a + b * b)
 
 
 def _input_phasors(ph_lr, ph_cs):
     """Complex input phasors for the dominant direction
     (matrix4_common.c:894-917)."""
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    sin_lr = jnp.sin(ph_lr + M_PI_4)
-    cos_lr = jnp.cos(ph_lr + M_PI_4)
-    inside = (jnp.abs(ph_lr) + jnp.abs(ph_cs)) < M_PI_4
-    ratio = jnp.sin(2.0 * ph_cs) / jnp.where(inside, jnp.cos(2.0 * ph_lr), 1.0)
-    alpha = jnp.sqrt(jnp.maximum(1.0 - ratio * ratio, 0.0))
-    beta = jnp.sqrt(1.0 + alpha)
-    gamma = jnp.sqrt(jnp.maximum(1.0 - alpha, 0.0))
+    sin_lr = dx.sin(ph_lr + M_PI_4)
+    cos_lr = dx.cos(ph_lr + M_PI_4)
+    inside = (dx.absolute(ph_lr) + dx.absolute(ph_cs)) < M_PI_4
+    ratio = dx.sin(2.0 * ph_cs) / dx.where(inside, dx.cos(2.0 * ph_lr), dx.full_like(ph_lr, 1.0))
+    alpha = dx.sqrt(dx.maximum(1.0 - ratio * ratio, 0.0))
+    beta = dx.sqrt(1.0 + alpha)
+    gamma = dx.sqrt(dx.maximum(1.0 - alpha, 0.0))
     neg = ph_cs < 0.0
-    sin_theta_in = jnp.where(neg, 0.5 * (beta + gamma), 0.5 * (beta - gamma))
-    cos_theta_in = jnp.where(neg, 0.5 * (beta - gamma), 0.5 * (beta + gamma))
-    sin_theta = jnp.where(inside, sin_theta_in, neg.astype(sin_theta_in.dtype))
-    cos_theta = jnp.where(inside, cos_theta_in, (~neg).astype(cos_theta_in.dtype))
+    sin_theta_in = dx.where(neg, 0.5 * (beta + gamma), 0.5 * (beta - gamma))
+    cos_theta_in = dx.where(neg, 0.5 * (beta - gamma), 0.5 * (beta + gamma))
+    zero = dx.zeros_like(sin_theta_in)
+    one = dx.full_like(sin_theta_in, 1.0) if dx.is_df(sin_theta_in) else None
+    if dx.is_df(sin_theta_in):
+        sin_theta = dx.where(inside, sin_theta_in, dx.where(neg, one, zero))
+        cos_theta = dx.where(inside, cos_theta_in, dx.where(neg, zero, one))
+    else:
+        import jax.numpy as jnp
+
+        sin_theta = jnp.where(inside, sin_theta_in, neg.astype(sin_theta_in.dtype))
+        cos_theta = jnp.where(inside, cos_theta_in, (~neg).astype(cos_theta_in.dtype))
     l_real = sin_lr * cos_theta
     l_imag = sin_lr * sin_theta
     r_real = cos_lr * cos_theta
@@ -693,23 +703,23 @@ def _input_phasors(ph_lr, ph_cs):
 def calc_matrix_coefs_v1(ax_lr, ax_cs, dp_lr, dp_cs, surr_mult, surr_mult_rear,
                          param, shelf_args):
     """v1 matrix: no steering of rear-encoded signals."""
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
     lr, cs = ax_lr, ax_cs
-    abs_lr = jnp.abs(lr)
-    gl = 1.0 + jnp.tan(abs_lr - M_PI_4)
-    gc_2 = jnp.where(cs > 0.0, 0.5 + 0.5 * jnp.tan(cs - M_PI_4), 0.0)
+    abs_lr = dx.absolute(lr)
+    gl = 1.0 + dx.tan(abs_lr - M_PI_4)
+    gc_2 = dx.where(cs > 0.0, 0.5 + 0.5 * dx.tan(cs - M_PI_4), 0.0)
     lsl = 1.0 - gc_2
     lsr = -gc_2
     rsl = lsr
     rsr = lsl
-    cs_gl = jnp.where(cs > -M_PI_4 / 2, 3.0 * cs, cs - M_PI_4)
-    fa = jnp.where(cs >= 0.0, 1.0, 1.0 + jnp.sin(cs_gl))
-    fb = jnp.where(cs >= 0.0, 1.0, jnp.cos(cs_gl))
-    lsl = jnp.where(lr > 0.0, lsl - gl * gl * fa, lsl)
-    lsr = jnp.where(lr > 0.0, lsr - gl * fb, lsr)
-    rsl = jnp.where(lr < 0.0, rsl - gl * fb, rsl)
-    rsr = jnp.where(lr < 0.0, rsr - gl * gl * fa, rsr)
+    cs_gl = dx.where(cs > -M_PI_4 / 2, 3.0 * cs, cs - M_PI_4)
+    fa = dx.where(cs >= 0.0, 1.0, 1.0 + dx.sin(cs_gl))
+    fb = dx.where(cs >= 0.0, 1.0, dx.cos(cs_gl))
+    lsl = dx.where(lr > 0.0, lsl - gl * gl * fa, lsl)
+    lsr = dx.where(lr > 0.0, lsr - gl * fb, lsr)
+    rsl = dx.where(lr < 0.0, rsl - gl * fb, rsl)
+    rsr = dx.where(lr < 0.0, rsr - gl * gl * fa, rsr)
     pu_sl = _pwr_sum(lsl, lsr)
     lsl = lsl / pu_sl
     lsr = lsr / pu_sl
@@ -725,20 +735,20 @@ def calc_matrix_coefs_v1(ax_lr, ax_cs, dp_lr, dp_cs, surr_mult, surr_mult_rear,
     surr_mult2 = surr_mult * surr_mult
     adj_norm_mult2 = 1.0 / (1.0 + surr_mult2)
     surr_pwr = surr_mult2 * adj_norm_mult2
-    pdc_f = jnp.sqrt(1.0 - surr_pwr * jnp.minimum(pd_s, 1.0))
-    pdc_s = jnp.sqrt(surr_pwr)
+    pdc_f = dx.sqrt(1.0 - surr_pwr * dx.minimum(pd_s, 1.0))
+    pdc_s = dx.sqrt(surr_pwr)
 
     rets = []
     for arg in shelf_args:
         hf2 = arg * arg
         anm = 1.0 / (1.0 + hf2)
         spw = hf2 * anm
-        front = jnp.sqrt(1.0 - spw * jnp.minimum(pd_s, 1.0)) / pdc_f
-        surr = jnp.sqrt(spw) / jnp.maximum(pdc_s, DBL_MIN)
+        front = dx.sqrt(1.0 - spw * dx.minimum(pd_s, 1.0)) / pdc_f
+        surr = dx.sqrt(spw) / dx.maximum(pdc_s, DBL_MIN)
         rets.append((front, surr))
 
     m = {
-        "ll": pdc_f, "lr": jnp.zeros_like(pdc_f), "rl": jnp.zeros_like(pdc_f), "rr": pdc_f,
+        "ll": pdc_f, "lr": dx.zeros_like(pdc_f), "rl": dx.zeros_like(pdc_f), "rr": pdc_f,
         "lsl": lsl * pdc_s, "lsr": lsr * pdc_s, "rsl": rsl * pdc_s, "rsr": rsr * pdc_s,
     }
     return m, rets
@@ -747,27 +757,27 @@ def calc_matrix_coefs_v1(ax_lr, ax_cs, dp_lr, dp_cs, surr_mult, surr_mult_rear,
 def calc_matrix_coefs_v4(ax_lr, ax_cs, dp_lr, dp_cs, surr_mult, surr_mult_rear,
                          param, shelf_args):
     """v4 matrix: full rear steering with adjustable surround separation."""
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
     lr, cs = ax_lr, ax_cs
-    abs_lr = jnp.abs(lr)
-    abs_cs = jnp.abs(cs)
-    lsl = jnp.ones_like(lr)
-    rsr = jnp.ones_like(lr)
-    lsr = jnp.zeros_like(lr)
-    rsl = jnp.zeros_like(lr)
-    gl = 1.0 + jnp.tan(abs_lr - M_PI_4)
-    lsl = jnp.where(lr > 0.0, lsl - gl * gl, lsl)
-    lsr = jnp.where(lr > 0.0, lsr - gl, lsr)
-    rsl = jnp.where(lr < 0.0, rsl - gl, rsl)
-    rsr = jnp.where(lr < 0.0, rsr - gl * gl, rsr)
-    gc_2_pos = 0.5 + 0.5 * jnp.tan(abs_cs - M_PI_4)
-    cs_gc = jnp.where(cs > -M_PI_4 / 2, abs_cs, M_PI_4 + cs)
-    gc_2_neg = 0.5 + 0.5 * jnp.tan(cs_gc - M_PI_4)
-    lsl = jnp.where(cs > 0.0, lsl - gc_2_pos, jnp.where(cs < 0.0, lsl - gc_2_neg, lsl))
-    lsr = jnp.where(cs > 0.0, lsr - gc_2_pos, jnp.where(cs < 0.0, lsr + gc_2_neg, lsr))
-    rsl = jnp.where(cs > 0.0, rsl - gc_2_pos, jnp.where(cs < 0.0, rsl + gc_2_neg, rsl))
-    rsr = jnp.where(cs > 0.0, rsr - gc_2_pos, jnp.where(cs < 0.0, rsr - gc_2_neg, rsr))
+    abs_lr = dx.absolute(lr)
+    abs_cs = dx.absolute(cs)
+    lsl = dx.ones_like(lr)
+    rsr = dx.ones_like(lr)
+    lsr = dx.zeros_like(lr)
+    rsl = dx.zeros_like(lr)
+    gl = 1.0 + dx.tan(abs_lr - M_PI_4)
+    lsl = dx.where(lr > 0.0, lsl - gl * gl, lsl)
+    lsr = dx.where(lr > 0.0, lsr - gl, lsr)
+    rsl = dx.where(lr < 0.0, rsl - gl, rsl)
+    rsr = dx.where(lr < 0.0, rsr - gl * gl, rsr)
+    gc_2_pos = 0.5 + 0.5 * dx.tan(abs_cs - M_PI_4)
+    cs_gc = dx.where(cs > -M_PI_4 / 2, abs_cs, M_PI_4 + cs)
+    gc_2_neg = 0.5 + 0.5 * dx.tan(cs_gc - M_PI_4)
+    lsl = dx.where(cs > 0.0, lsl - gc_2_pos, dx.where(cs < 0.0, lsl - gc_2_neg, lsl))
+    lsr = dx.where(cs > 0.0, lsr - gc_2_pos, dx.where(cs < 0.0, lsr + gc_2_neg, lsr))
+    rsl = dx.where(cs > 0.0, rsl - gc_2_pos, dx.where(cs < 0.0, rsl + gc_2_neg, rsl))
+    rsr = dx.where(cs > 0.0, rsr - gc_2_pos, dx.where(cs < 0.0, rsr - gc_2_neg, rsr))
     pu_sl = _pwr_sum(lsl, lsr)
     lsl = lsl / pu_sl
     lsr = lsr / pu_sl
@@ -776,29 +786,29 @@ def calc_matrix_coefs_v4(ax_lr, ax_cs, dp_lr, dp_cs, surr_mult, surr_mult_rear,
     rsr = rsr / pu_sr
 
     # front elements
-    front_gc_2 = 0.5 + 0.5 * jnp.tan(abs_cs - M_PI_4)
-    front_cs = jnp.where(cs > -M_PI_4 / 2, 4.0 * abs_cs, M_PI_2)
-    front_lr_mult = jnp.where(abs_lr <= M_PI_4 / 2, 1.0, 1.0 + jnp.cos(4.0 * abs_lr)) * param
+    front_gc_2 = 0.5 + 0.5 * dx.tan(abs_cs - M_PI_4)
+    front_cs = dx.where(cs > -M_PI_4 / 2, 4.0 * abs_cs, M_PI_2)
+    front_lr_mult = dx.where(abs_lr <= M_PI_4 / 2, 1.0, 1.0 + dx.cos(4.0 * abs_lr)) * param
     ll_n = -front_gc_2
     rr_n = -front_gc_2
-    lr_n = front_gc_2 + jnp.zeros_like(front_gc_2)
-    rl_n = front_gc_2 + jnp.zeros_like(front_gc_2)
-    ll_n = jnp.where(lr > 0.0, ll_n - gl * gl * jnp.sin(front_cs) * front_lr_mult, ll_n)
-    lr_n = jnp.where(lr > 0.0, lr_n + gl * (1.0 - jnp.cos(front_cs)) * front_lr_mult, lr_n)
-    rl_n = jnp.where(lr < 0.0, rl_n + gl * (1.0 - jnp.cos(front_cs)) * front_lr_mult, rl_n)
-    rr_n = jnp.where(lr < 0.0, rr_n - gl * gl * jnp.sin(front_cs) * front_lr_mult, rr_n)
-    cf_sm2 = jnp.minimum(surr_mult_rear, 1.0) ** 2
-    cf = 1.0 - jnp.sqrt((1.0 - cf_sm2) / (1.0 + cf_sm2))
+    lr_n = front_gc_2 + dx.zeros_like(front_gc_2)
+    rl_n = front_gc_2 + dx.zeros_like(front_gc_2)
+    ll_n = dx.where(lr > 0.0, ll_n - gl * gl * dx.sin(front_cs) * front_lr_mult, ll_n)
+    lr_n = dx.where(lr > 0.0, lr_n + gl * (1.0 - dx.cos(front_cs)) * front_lr_mult, lr_n)
+    rl_n = dx.where(lr < 0.0, rl_n + gl * (1.0 - dx.cos(front_cs)) * front_lr_mult, rl_n)
+    rr_n = dx.where(lr < 0.0, rr_n - gl * gl * dx.sin(front_cs) * front_lr_mult, rr_n)
+    cf_sm2 = dx.minimum(surr_mult_rear, 1.0) ** 2
+    cf = 1.0 - dx.sqrt((1.0 - cf_sm2) / (1.0 + cf_sm2))
     ll_n = 1.0 + ll_n * cf
     lr_n = lr_n * cf
     rl_n = rl_n * cf
     rr_n = 1.0 + rr_n * cf
     pu_fl = _pwr_sum(ll_n, lr_n)
     pu_fr = _pwr_sum(rl_n, rr_n)
-    ll = jnp.where(cs >= 0.0, 1.0, ll_n / pu_fl)
-    lrm = jnp.where(cs >= 0.0, 0.0, lr_n / pu_fl)
-    rl = jnp.where(cs >= 0.0, 0.0, rl_n / pu_fr)
-    rr = jnp.where(cs >= 0.0, 1.0, rr_n / pu_fr)
+    ll = dx.where(cs >= 0.0, 1.0, ll_n / pu_fl)
+    lrm = dx.where(cs >= 0.0, 0.0, lr_n / pu_fl)
+    rl = dx.where(cs >= 0.0, 0.0, rl_n / pu_fr)
+    rr = dx.where(cs >= 0.0, 1.0, rr_n / pu_fr)
 
     l_real, l_imag, r_real, r_imag = _input_phasors(dp_lr, dp_cs)
     gd_fl2 = (ll * l_real + lrm * r_real) ** 2 + (ll * l_imag + lrm * r_imag) ** 2
@@ -809,25 +819,25 @@ def calc_matrix_coefs_v4(ax_lr, ax_cs, dp_lr, dp_cs, surr_mult, surr_mult_rear,
     pd_s = gd_sl2 + gd_sr2
 
     # weighted directional power
-    abs_dp_lr = jnp.abs(dp_lr)
-    abs_dp_cs = jnp.abs(dp_cs)
+    abs_dp_lr = dx.absolute(dp_lr)
+    abs_dp_cs = dx.absolute(dp_cs)
     lr2 = dp_lr * dp_lr
     cs2 = dp_cs * dp_cs
-    wf_in = jnp.where(lr2 + cs2 > DBL_MIN, ((lr2 - cs2) / jnp.maximum(lr2 + cs2, DBL_MIN)) ** 2, 0.0)
+    wf_in = dx.where(lr2 + cs2 > DBL_MIN, ((lr2 - cs2) / dx.maximum(lr2 + cs2, DBL_MIN)) ** 2, 0.0)
     case_a = (dp_cs < 0.0) & (abs_dp_cs < abs_dp_lr)
     case_b = (dp_cs < 0.0) & ~case_a
-    pd_f_wf = jnp.where(case_a, (pd_f - 1.0) * wf_in + 1.0, jnp.where(case_b, 1.0, pd_f))
-    pd_s_wf = jnp.where(case_a, (pd_s - 1.0) * wf_in + 1.0, jnp.where(case_b, 1.0, pd_s))
-    pd_f_ws = jnp.where(case_a, (pd_f - 1.0) * (1.0 - wf_in) + 1.0, jnp.where(case_b, pd_f, 1.0))
-    pd_s_ws = jnp.where(case_a, (pd_s - 1.0) * (1.0 - wf_in) + 1.0, jnp.where(case_b, pd_s, 1.0))
+    pd_f_wf = dx.where(case_a, (pd_f - 1.0) * wf_in + 1.0, dx.where(case_b, 1.0, pd_f))
+    pd_s_wf = dx.where(case_a, (pd_s - 1.0) * wf_in + 1.0, dx.where(case_b, 1.0, pd_s))
+    pd_f_ws = dx.where(case_a, (pd_f - 1.0) * (1.0 - wf_in) + 1.0, dx.where(case_b, pd_f, 1.0))
+    pd_s_ws = dx.where(case_a, (pd_s - 1.0) * (1.0 - wf_in) + 1.0, dx.where(case_b, pd_s, 1.0))
 
     surr_mult2 = surr_mult * surr_mult
     adj_norm_mult2 = 1.0 / (1.0 + surr_mult2)
     pdc_fi2 = (1.0 - surr_mult2 * adj_norm_mult2 * pd_s_wf) / pd_f_wf
     pdc_si2 = (1.0 - adj_norm_mult2 * pd_f_ws) / pd_s_ws
     pdc_all2 = 1.0 / (pd_f * pdc_fi2 + pd_s * pdc_si2)
-    pdc_f = jnp.sqrt(jnp.maximum(pdc_fi2, 0.0) * pdc_all2)
-    pdc_s = jnp.sqrt(jnp.maximum(pdc_si2, 0.0) * pdc_all2)
+    pdc_f = dx.sqrt(dx.maximum(pdc_fi2, 0.0) * pdc_all2)
+    pdc_s = dx.sqrt(dx.maximum(pdc_si2, 0.0) * pdc_all2)
 
     rets = []
     for arg in shelf_args:
@@ -836,8 +846,8 @@ def calc_matrix_coefs_v4(ax_lr, ax_cs, dp_lr, dp_cs, surr_mult, surr_mult_rear,
         fi2 = (1.0 - hf2 * anm * pd_s_wf) / pd_f_wf
         si2 = (1.0 - anm * pd_f_ws) / pd_s_ws
         all2 = 1.0 / (pd_f * fi2 + pd_s * si2)
-        front = jnp.sqrt(jnp.maximum(fi2, 0.0) * all2) / pdc_f
-        surr = jnp.sqrt(jnp.maximum(si2, 0.0) * all2) / jnp.maximum(pdc_s, DBL_MIN)
+        front = dx.sqrt(dx.maximum(fi2, 0.0) * all2) / pdc_f
+        surr = dx.sqrt(dx.maximum(si2, 0.0) * all2) / dx.maximum(pdc_s, DBL_MIN)
         rets.append((front, surr))
 
     m = {
@@ -848,26 +858,26 @@ def calc_matrix_coefs_v4(ax_lr, ax_cs, dp_lr, dp_cs, surr_mult, surr_mult_rear,
 
 
 def phase_flip_pos_rs(ax_lr, ax_cs):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
     x = ax_cs * (-2.0 / M_PI_4)
     x = x * x * 0.5 + 0.5
-    return jnp.where(ax_cs >= 0.0, 0.5, jnp.minimum(x, 1.0))
+    return dx.where(ax_cs >= 0.0, 0.5, dx.minimum(x, 1.0))
 
 
 def phase_flip_ap1_c0(c0_const, c1_const, pos):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    return jnp.exp(pos * (c1_const - c0_const) + c0_const) - 1.0
+    return dx.exp(pos * (c1_const - c0_const) + c0_const) - 1.0
 
 
 def surr_direct_pan(ax_lr, ax_cs):
-    import jax.numpy as jnp
+    from dsp_tpu.ops import dfx as dx
 
-    x = jnp.abs(ax_lr)
+    x = dx.absolute(ax_lr)
     y0 = ax_cs + (M_PI_4 / 2)
-    y = jnp.where(ax_cs > -M_PI_4 / 2, y0 * 2.0, y0)
-    z = jnp.minimum(jnp.maximum(x - y, 0.0) * 6.0, M_PI_2)
-    amb = jnp.where(ax_cs >= 0.0, 1.0, jnp.cos(z))
-    dire = jnp.where(ax_cs >= 0.0, 0.0, jnp.sin(z))
+    y = dx.where(ax_cs > -M_PI_4 / 2, y0 * 2.0, y0)
+    z = dx.minimum(dx.maximum(x - y, 0.0) * 6.0, M_PI_2)
+    amb = dx.where(ax_cs >= 0.0, 1.0, dx.cos(z))
+    dire = dx.where(ax_cs >= 0.0, 0.0, dx.sin(z))
     return amb, dire

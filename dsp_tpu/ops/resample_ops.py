@@ -142,9 +142,15 @@ class SpectralResampler:
         return np.zeros((self.out_len, channels), dtype=np.float64)
 
     def block(self, overlap, x):
-        """One inner block: x [in_len, C] -> (overlap', y [out_len, C])."""
+        """One inner block: x [in_len, C] -> (overlap', y [out_len, C]).
+
+        float64 path: native FFTs. float32 path: double-float FFTs + fold
+        (ops.dfx_fft) — the TPU's native f32 FFT alone floors the worst-sample
+        error near -118 dBFS (round-2 measurement), above the -120 budget."""
         import jax.numpy as jnp
 
+        if x.dtype == jnp.float32:
+            return self._block_df(overlap, x)
         in_len, out_len = self.in_len, self.out_len
         C = x.shape[1]
         cdt = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
@@ -163,4 +169,65 @@ class SpectralResampler:
         y2 = jnp.fft.irfft(Y, n=out_len * 2, axis=0).astype(x.dtype) * (out_len / in_len)
         y = y2[:out_len] + overlap.astype(x.dtype)
         new_overlap = y2[out_len:]
+        return new_overlap, y
+
+    def _df_plans(self):
+        if not hasattr(self, "_plan_f"):
+            from dsp_tpu.ops.dfx_fft import DfDft
+
+            self._plan_f = DfDft(2 * self.in_len)
+            self._plan_i = DfDft(2 * self.out_len)
+            from dsp_tpu.ops.dfx import _const_split
+
+            sr = self.tab_s.real
+            si = self.tab_s.imag
+            self._s_split = (
+                (sr.astype(np.float32), (sr - sr.astype(np.float32).astype(np.float64)).astype(np.float32)),
+                (si.astype(np.float32), (si - si.astype(np.float32).astype(np.float64)).astype(np.float32)),
+            )
+            self._scale_split = _const_split(self.out_len / self.in_len)
+        return self._plan_f, self._plan_i
+
+    def _block_df(self, overlap, x):
+        import jax
+        import jax.numpy as jnp
+
+        from dsp_tpu.ops.dfx import DF
+        from dsp_tpu.ops.iir import _quick_two_sum
+
+        plan_f, plan_i = self._df_plans()
+        in_len, out_len = self.in_len, self.out_len
+        C = x.shape[1]
+        xt = jnp.concatenate([x, jnp.zeros((in_len, C), dtype=x.dtype)], axis=0)
+        xd = DF(xt, jnp.zeros_like(xt))
+        Xr, Xi = plan_f.rfft(xd)  # [in_len+1, C] DF
+        tj = jnp.asarray(self.tab_j)
+        gr = Xr[tj]
+        gi = Xi[tj]
+        c1 = jnp.asarray(self.tab_c1)[:, None]
+        gi = DF(jnp.where(c1, -gi.hi, gi.hi), jnp.where(c1, -gi.lo, gi.lo))
+        (srh, srl), (sih, sil) = self._s_split
+        sr = DF(jnp.asarray(srh)[:, None], jnp.asarray(srl)[:, None])
+        si = DF(jnp.asarray(sih)[:, None], jnp.asarray(sil)[:, None])
+        vr = gr * sr - gi * si
+        vi = gr * si + gi * sr
+        c2 = jnp.asarray(self.tab_c2)[:, None]
+        vi = DF(jnp.where(c2, -vi.hi, vi.hi), jnp.where(c2, -vi.lo, vi.lo))
+        tl = jnp.asarray(self.tab_l)
+        # per-bin sums are short (<= a few contributions): summing hi and lo
+        # independently keeps df accuracy after one renormalization
+        Yr_h = jax.ops.segment_sum(vr.hi, tl, num_segments=out_len + 1)
+        Yr_l = jax.ops.segment_sum(vr.lo, tl, num_segments=out_len + 1)
+        Yi_h = jax.ops.segment_sum(vi.hi, tl, num_segments=out_len + 1)
+        Yi_l = jax.ops.segment_sum(vi.lo, tl, num_segments=out_len + 1)
+        Yr = DF(*_quick_two_sum(Yr_h, Yr_l))
+        Yi = DF(*_quick_two_sum(Yi_h, Yi_l))
+        y2 = plan_i.irfft(Yr, Yi)  # [2*out_len, C] DF
+        sc = DF(
+            jnp.asarray(self._scale_split[0]), jnp.asarray(self._scale_split[1])
+        )
+        y2 = y2 * sc
+        y2v = y2.hi + y2.lo
+        y = y2v[:out_len] + overlap.astype(x.dtype)
+        new_overlap = y2v[out_len:]
         return new_overlap, y

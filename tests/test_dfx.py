@@ -221,3 +221,38 @@ class TestAccumulation:
         m_final, _ = jax.lax.scan(scan_fn, m0, xs)
         df_val = float(np.asarray(m_final.hi, np.float64) + np.asarray(m_final.lo, np.float64))
         assert abs(df_val - ref[-1]) < 1e-9 * max(1.0, abs(ref[-1]))
+
+
+class TestTranscendentals:
+    def test_sin_cos_tan(self):
+        x = RNG.uniform(-3.3, 3.3, 20001)
+        np.testing.assert_allclose(_val64(dfx.sin(_df_from64(x))), np.sin(x), atol=3e-14)
+        np.testing.assert_allclose(_val64(dfx.cos(_df_from64(x))), np.cos(x), atol=3e-14)
+        xt = x[np.abs(np.cos(x)) > 0.3]
+        np.testing.assert_allclose(_val64(dfx.tan(_df_from64(xt))), np.tan(xt), rtol=1e-11, atol=1e-13)
+
+    def test_exp(self):
+        # engine range: phase_flip ap1 exponents land in about [-9, 1]
+        x = RNG.uniform(-12, 3, 20001)
+        np.testing.assert_allclose(_val64(dfx.exp(_df_from64(x))), np.exp(x), rtol=5e-13)
+
+    def test_plain_passthrough(self):
+        a = jnp.asarray(np.float64([0.5, -1.0]))
+        for f in (dfx.sin, dfx.cos, dfx.tan, dfx.exp):
+            assert not isinstance(f(a), dfx.DF)
+
+
+class TestDfFft:
+    def test_pow2_and_bluestein(self):
+        from dsp_tpu.ops.dfx_fft import DfDft, df_lift_array
+
+        for N in (64, 735, 1176, 5120):
+            x = RNG.standard_normal((N, 2))
+            plan = DfDft(N)
+            xd = df_lift_array(jnp.asarray(x))
+            Xr, Xi = plan.rfft(xd)
+            ref = np.fft.rfft(x, axis=0)
+            got = _val64(Xr) + 1j * _val64(Xi)
+            assert np.abs(got - ref).max() / np.abs(ref).max() < 1e-13, N
+            y = plan.irfft(Xr, Xi)
+            assert np.abs(_val64(y) - x).max() < 1e-12, N
