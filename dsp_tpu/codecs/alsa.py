@@ -16,6 +16,7 @@ ABI is declared so the codec is functional on any host with ALSA:
 
 import ctypes
 import ctypes.util
+import os
 
 import numpy as np
 
@@ -34,8 +35,15 @@ from dsp_tpu.codecs.sampleconv import raw_to_sample, sample_to_raw
 
 _libname = ctypes.util.find_library("asound")
 if _libname is None:
-    raise ImportError("libasound not available")
-_a = ctypes.CDLL(_libname)
+    # DSP_TPU_FAKE_ALSA=1 lets the test harness import the module and
+    # monkeypatch `_a` with a scripted fake (tests/test_alsa_fake.py) on
+    # hosts without libasound; default behavior (ImportError self-gating,
+    # the analog of the reference's configure gating) is unchanged.
+    if os.environ.get("DSP_TPU_FAKE_ALSA") != "1":
+        raise ImportError("libasound not available")
+    _a = None
+else:
+    _a = ctypes.CDLL(_libname)
 
 # --- minimal ALSA ABI -------------------------------------------------------
 SND_PCM_STREAM_PLAYBACK = 0
@@ -55,14 +63,15 @@ _FORMATS = {
 _EPIPE = 32
 _ESTRPIPE = 86
 
-_a.snd_pcm_open.argtypes = [ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
-_a.snd_strerror.restype = ctypes.c_char_p
-_a.snd_pcm_hw_params_sizeof.restype = ctypes.c_size_t
-_a.snd_pcm_sw_params_sizeof.restype = ctypes.c_size_t
-_a.snd_pcm_writei.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_ulong]
-_a.snd_pcm_writei.restype = ctypes.c_long
-_a.snd_pcm_readi.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_ulong]
-_a.snd_pcm_readi.restype = ctypes.c_long
+if _a is not None:
+    _a.snd_pcm_open.argtypes = [ctypes.POINTER(ctypes.c_void_p), ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    _a.snd_strerror.restype = ctypes.c_char_p
+    _a.snd_pcm_hw_params_sizeof.restype = ctypes.c_size_t
+    _a.snd_pcm_sw_params_sizeof.restype = ctypes.c_size_t
+    _a.snd_pcm_writei.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_ulong]
+    _a.snd_pcm_writei.restype = ctypes.c_long
+    _a.snd_pcm_readi.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_ulong]
+    _a.snd_pcm_readi.restype = ctypes.c_long
 
 
 def _ck(err, what):
