@@ -168,6 +168,42 @@ def bench_cli_latency(tmp):
             "warm_s": round(warm, 2), "warm_attrib_s": round(warm - floor, 2)}
 
 
+def accuracy_suite():
+    """Per-family worst-sample error vs the checked-in f64 goldens, rendered
+    in float32 on THIS backend (the real chip when benched there) — the
+    driver-visible accuracy record VERDICT r2 #2 asked for. Fields land in
+    the suite JSON as `<family>_dbfs`."""
+    import numpy as np
+
+    import dsp_tpu.config as cfg
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.gen_bench_goldens import FAMILIES, render_family  # noqa: E501
+
+    gold_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_goldens")
+    out = {}
+    prev = cfg.sample_dtype()
+    try:
+        for name in list(FAMILIES) + ["fir"]:
+            path = os.path.join(gold_dir, f"{name}.npz")
+            if not os.path.exists(path):
+                out[f"{name}_dbfs"] = "error: golden missing"
+                continue
+            try:
+                g = np.load(path)
+                ref = g["hi"].astype(np.float64) + g["lo"].astype(np.float64)
+                y = render_family(name, "float32")
+                n = min(len(y), len(ref))
+                err = float(np.abs(y[:n] - ref[:n]).max())
+                out[f"{name}_dbfs"] = round(20 * np.log10(max(err, 1e-300)), 1)
+            except Exception as e:  # pragma: no cover - report, don't die
+                out[f"{name}_dbfs"] = f"error: {type(e).__name__}: {e}"
+            print(f"# {name}_dbfs: {out.get(f'{name}_dbfs')}", file=sys.stderr)
+    finally:
+        cfg.set_sample_dtype(prev)
+    return out
+
+
 def main():
     import numpy as np  # noqa: F401
 
@@ -185,6 +221,11 @@ def main():
         ("matrix4_mb", "matrix4_mb -6", {}),
         ("fir_64k", f"fir {f64k}", {}),
         ("fir_1M", f"fir_p {f1m}", {"n_blocks": 8}),
+        # block-size sweep (BASELINE config #3): the small-block regimes are
+        # where the reference's non-uniform partitions earn their keep —
+        # uniform-FDL cost per sample grows as taps/block
+        ("fir_1M_b2048", f"fir_p {f1m}", {"n_blocks": 32, "block": 2048}),
+        ("fir_1M_b256", f"fir_p {f1m}", {"n_blocks": 64, "block": 256}),
         ("resample_192k", "resample 192k", {"n_blocks": 8}),
         ("mixed", f"eq 1k 1.0 +3 delay -f 0.3m fir {f4k} matrix4_mb -6", {}),
     ]
@@ -207,6 +248,8 @@ def main():
     except Exception as e:  # pragma: no cover
         suite["cli_60s_biquad"] = f"error: {type(e).__name__}: {e}"
     print(f"# cli_60s_biquad: {suite['cli_60s_biquad']}", file=sys.stderr)
+
+    suite.update(accuracy_suite())
 
     headline = suite.get("northstar")
     value = headline if isinstance(headline, float) else 0.0

@@ -530,31 +530,28 @@ def atan_pos(x):
         (jnp.where(jnp.isnan(x.hi), x.hi, r.hi), jnp.where(jnp.isnan(x.hi), x.hi, r.lo))
     )
     r = DF(rh, rl)
-    # segment select on r in [0, 1]
+    # select the segment CONSTANTS first (nearest c in {0, .25, .5, .75, 1}),
+    # then run ONE reduction + polynomial — a per-segment poly costs 5x the
+    # trace/compile size for no accuracy gain
     rv = r.hi + r.lo
-    out_h = jnp.zeros_like(r.hi)
-    out_l = jnp.zeros_like(r.lo)
-    for i, ((ch, cl), (ath, atl)) in enumerate(_ATAN_TAB):
-        c = _ATAN_CS[i]
-        lo_edge = -np.inf if i == 0 else (c - 0.125)
-        hi_edge = np.inf if i == len(_ATAN_CS) - 1 else (c + 0.125)
-        m = (rv >= lo_edge) & (rv < hi_edge)
-        if c == 0.0:
-            arg = r
-            base = None
-        else:
-            cdf = DF(ch, cl)
-            arg = (r - cdf) / (cdf * r + 1.0)
-            base = DF(ath, atl)
-        t = _atan_poly(arg)
-        tt = t if base is None else base + t
-        th = jnp.broadcast_to(tt.hi, r.hi.shape)
-        tl = jnp.broadcast_to(tt.lo, r.lo.shape)
-        out_h, out_l = jax.lax.optimization_barrier(
-            (jnp.where(m, th, out_h), jnp.where(m, tl, out_l))
-        )
+    idx = jnp.clip(jnp.round(rv * 4.0), 0.0, 4.0)
+    ch = jnp.zeros_like(r.hi)
+    cl = jnp.zeros_like(r.lo)
+    ath = jnp.zeros_like(r.hi)
+    atl = jnp.zeros_like(r.lo)
+    for i, ((chi, cli), (athi, atli)) in enumerate(_ATAN_TAB):
+        m = idx == float(i)
+        ch = jnp.where(m, chi, ch)
+        cl = jnp.where(m, cli, cl)
+        ath = jnp.where(m, athi, ath)
+        atl = jnp.where(m, atli, atl)
+    ch, cl, ath, atl = jax.lax.optimization_barrier((ch, cl, ath, atl))
+    cdf = DF(ch, cl)
+    arg = (r - cdf) / (cdf * r + 1.0)
+    out = DF(ath, atl) + _atan_poly(arg)
+    out_h, out_l = out.hi, out.lo
     # fold back x > 1: pi/2 - atan(1/x)
-    fdf = DF(_PI_2_DF[0], _PI_2_DF[1]) - DF(out_h, out_l)
+    fdf = DF(_PI_2_DF[0], _PI_2_DF[1]) - out
     fh = jnp.broadcast_to(fdf.hi, out_h.shape)
     fl = jnp.broadcast_to(fdf.lo, out_l.shape)
     res_h = _bar_where(big, fh, out_h)
