@@ -100,9 +100,9 @@ class TestCliBasics:
             "crossover_lr4_2kHz_riir_linphase": 4,
             "eq_demo": 2,
             "matrix4_2_2": 4,
-            "matrix4_2_4": 4,
+            "matrix4_2_4": 6,
             "matrix4_mb_2_2": 4,
-            "matrix4_mb_2_4": 4,
+            "matrix4_mb_2_4": 6,
             "matrix4_mb_direct_path_2_2": 4,
             "matrix4_mb_direct_path_2_4": 6,
         }
