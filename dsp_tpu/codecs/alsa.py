@@ -82,6 +82,12 @@ def _ck(err, what):
 
 class AlsaCodec(Codec):
     def __init__(self, params):
+        if _a is None:
+            # No libasound on this system: fail like the reference does when
+            # snd_pcm_open can't reach a device, so codec dispatch's
+            # device-fallback probe (codec.c:141-151) moves on / errors
+            # cleanly instead of crashing on the missing handle.
+            raise CodecError("alsa: libasound not available")
         enc = params.enc or "s16"
         if enc not in _FORMATS:
             raise CodecError(f"alsa: unsupported encoding: {enc}")
