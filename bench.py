@@ -249,6 +249,19 @@ def main():
         suite["cli_60s_biquad"] = f"error: {type(e).__name__}: {e}"
     print(f"# cli_60s_biquad: {suite['cli_60s_biquad']}", file=sys.stderr)
 
+    try:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_ladspa_bridge.py")],
+            capture_output=True, text=True, timeout=600, check=True)
+        suite["ladspa_bridge_us"] = json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover
+        suite["ladspa_bridge_us"] = f"error: {type(e).__name__}: {e}"
+    print(f"# ladspa_bridge_us: {suite['ladspa_bridge_us']}", file=sys.stderr)
+
     suite.update(accuracy_suite())
 
     headline = suite.get("northstar")
