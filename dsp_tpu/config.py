@@ -28,6 +28,16 @@ if _platform:
 # /root/reference/dsp.h:42). Compute dtype on TPU remains float32 by default.
 jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls/einsums default to bf16 inputs; every matmul here is an audio
+# mixing operation (remix matrices, matrix4_mb band masking, IIR state-space
+# products) where bf16's ~8-bit mantissa puts errors at ~-40 dBFS directly in
+# the signal path — far outside the -120 dBFS budget. These matrices are tiny
+# (NxN channel mixes, 4x4 state blocks); highest precision costs nothing
+# measurable while the real FLOPs live in FFTs and elementwise scans. Local
+# `default_matmul_precision` guards in ops/iir.py remain for documentation
+# and for callers that import kernels without going through config.
+jax.config.update("jax_default_matmul_precision", "float32")
+
 # Persistent compilation cache: the analog of the reference's FFTW wisdom
 # (DSP_FFTW_WISDOM_PATH, util.c:474-500). Plans/compilations accumulate
 # across runs. Unlike the reference (which only loads wisdom when the env var

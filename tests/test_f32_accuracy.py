@@ -295,3 +295,17 @@ class TestMatrix4MbControlSplit:
         err = np.abs(y64 - y32).max()
         err_db = 20 * np.log10(err) if err > 0 else -np.inf
         assert err_db <= -95.0, f"full f32: {err_db:.1f} dBFS"
+
+
+def test_global_matmul_precision_is_float32():
+    """TPU matmuls default to bf16 inputs (~8-bit mantissa, ~-40 dBFS noise
+    if one lands in the signal path); config.py pins the global default to
+    float32 so any un-guarded einsum (channel mixes, band masking) stays
+    within budget by construction. The hot kernels carry their own local
+    `default_matmul_precision` guards; this is the backstop. CPU tests
+    can't observe the bf16 effect itself, so guard the config knob."""
+    import jax
+
+    import dsp_tpu.config  # noqa: F401 - import applies the setting
+
+    assert jax.config.jax_default_matmul_precision == "float32"
