@@ -168,11 +168,90 @@ def bench_cli_latency(tmp):
             "warm_s": round(warm, 2), "warm_attrib_s": round(warm - floor, 2)}
 
 
+def _matrix4_mb_accuracy(gold_dir, block=32768):
+    """matrix4_mb f32 accuracy with the golden's f64 control stream replayed.
+
+    Free-running f32-vs-f64 is NOT a precision metric for this effect: the
+    event engine is chaotic at the quiet bands' leakage level. A controlled
+    experiment (f64 arithmetic and state throughout, input merely rounded to
+    f32) moved the matrix values by up to 0.124 on this very signal — the
+    same scale as the full-f32 divergence — so no arithmetic could pass a
+    free-run budget, including a bit-perfect port of the C double build fed
+    a float input. (Probe: scripts/m4mb_chaos_probe.py; PARITY.md
+    'matrix4_mb control chaos'.) What IS implementation precision:
+      matrix4_mb_dbfs         f32 audio path replaying the golden's fitted
+                              f64 tick coefficients (bounds every non-event
+                              arithmetic stage; budget <= -120)
+      matrix4_mb_ctl_vals     max |f32 control vals - replayed f64 vals|
+                              (informative: event-decision divergence)
+      matrix4_mb_freerun_dbfs the raw free-run figure (informative only)
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsp_tpu.chain import build_chain_from_string
+    from dsp_tpu.core.types import StreamInfo
+    from scripts.gen_bench_goldens import FAMILIES, program_signal, replay_vals
+
+    g = np.load(os.path.join(gold_dir, "matrix4_mb.npz"))
+    if "ics" not in g:
+        return {"matrix4_mb_dbfs": "error: golden lacks control stream (regen)"}
+    ref = g["hi"].astype(np.float64) + g["lo"].astype(np.float64)
+    ics = g["ics"].astype(np.float64)
+
+    chain = build_chain_from_string(FAMILIES["matrix4_mb"], StreamInfo(FS, 2))
+    fir, mb = chain.effects[0], chain.effects[1]
+    x = program_signal()
+    n_in = len(x)
+    n_blocks = -(-n_in // block)
+    xp = np.zeros((n_blocks * block, 2))
+    xp[:n_in] = x
+    n_pad = n_blocks * block
+    n_t_need = n_pad // 32
+    if len(ics) < n_t_need:  # padding region: hold the last coefficient set
+        ics = np.concatenate([ics, np.repeat(ics[-1:], n_t_need - len(ics), axis=0)])
+    vals_all = replay_vals(mb.state0()["interp_c"], ics, n_pad, np.float32)
+
+    def cast32(st):
+        return jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float32)
+            if np.asarray(a).dtype == np.float64 else np.asarray(a), st)
+
+    fst = jax.tree_util.tree_map(jnp.asarray, cast32(fir.state_for_block(block)))
+    mst = jax.tree_util.tree_map(jnp.asarray, cast32(mb.state_for_block(block)))
+    fir_j = jax.jit(fir.step)
+    ctl_j = jax.jit(mb._control)
+    audio_j = jax.jit(mb._audio)
+    ys = []
+    ctl_err = 0.0
+    for i in range(n_blocks):
+        xb = jnp.asarray(xp[i * block : (i + 1) * block], jnp.float32)
+        vb = jnp.asarray(vals_all[i * block : (i + 1) * block])
+        fst, xf = fir_j(fst, xb)
+        ctl, v32, _ = ctl_j(mst, xf)
+        mst, y = audio_j(mst, xf, vb, ctl)
+        print(f"#   m4mb replay block {i + 1}/{n_blocks}", file=sys.stderr, flush=True)
+        ys.append(np.asarray(y, np.float64))
+        ctl_err = max(ctl_err, float(np.abs(
+            np.asarray(v32, np.float64) - np.asarray(vb, np.float64)).max()))
+    y = np.concatenate(ys)[:n_in]
+    n = min(len(y), len(ref))
+    err = float(np.abs(y[:n] - ref[:n]).max())
+    return {
+        "matrix4_mb_dbfs": round(20 * np.log10(max(err, 1e-300)), 1),
+        "matrix4_mb_ctl_vals": round(ctl_err, 4),
+    }
+
+
 def accuracy_suite():
     """Per-family worst-sample error vs the checked-in f64 goldens, rendered
     in float32 on THIS backend (the real chip when benched there) — the
     driver-visible accuracy record VERDICT r2 #2 asked for. Fields land in
-    the suite JSON as `<family>_dbfs`."""
+    the suite JSON as `<family>_dbfs`. matrix4_mb uses a control-replay
+    protocol (see _matrix4_mb_accuracy) because its free-run figure measures
+    event-engine chaos, not arithmetic."""
     import numpy as np
 
     import dsp_tpu.config as cfg
@@ -195,18 +274,54 @@ def accuracy_suite():
                 y = render_family(name, "float32")
                 n = min(len(y), len(ref))
                 err = float(np.abs(y[:n] - ref[:n]).max())
-                out[f"{name}_dbfs"] = round(20 * np.log10(max(err, 1e-300)), 1)
+                key = f"{name}_freerun_dbfs" if name == "matrix4_mb" else f"{name}_dbfs"
+                out[key] = round(20 * np.log10(max(err, 1e-300)), 1)
             except Exception as e:  # pragma: no cover - report, don't die
                 out[f"{name}_dbfs"] = f"error: {type(e).__name__}: {e}"
-            print(f"# {name}_dbfs: {out.get(f'{name}_dbfs')}", file=sys.stderr)
+            print(f"# {name}_dbfs: {out.get(f'{name}_dbfs', out.get(f'{name}_freerun_dbfs'))}",
+                  file=sys.stderr)
+        try:
+            import dsp_tpu.config as _c
+
+            _c.set_sample_dtype("float32")
+            out.update(_matrix4_mb_accuracy(gold_dir))
+        except Exception as e:  # pragma: no cover
+            out["matrix4_mb_dbfs"] = f"error: {type(e).__name__}: {e}"
+        print(f"# matrix4_mb_dbfs: {out.get('matrix4_mb_dbfs')} "
+              f"(ctl_vals {out.get('matrix4_mb_ctl_vals')})", file=sys.stderr)
     finally:
         cfg.set_sample_dtype(prev)
     return out
 
 
+def _probe_backend(timeout_s=240):
+    """Initialize the configured jax backend in a THROWAWAY subprocess first.
+
+    A wedged TPU tunnel makes jax.devices() hang forever (observed: axon
+    terminal outage mid-round); if that happened in-process the whole bench
+    would produce nothing. Probe out-of-process with a timeout and fall back
+    to CPU so the driver always gets a JSON line (tagged with the backend
+    it actually measured)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    print("# backend probe failed/hung -> falling back to cpu", file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["DSP_TPU_PLATFORM"] = "cpu"
+    return None
+
+
 def main():
     import numpy as np  # noqa: F401
 
+    _probe_backend()
     import jax
 
     backend = jax.default_backend()

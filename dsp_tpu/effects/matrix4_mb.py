@@ -146,12 +146,15 @@ class Matrix4MbEffect(Effect):
     # --- state ---
 
     def state_for_block(self, block):
-        from dsp_tpu.ops.iir import BLOCKED_L
-
         st = self.state0()
-        if block % BLOCKED_L == 0 and block >= 2 * BLOCKED_L:
-            plan = self._bank_plan()
-            st["bank"] = {"fused": np.zeros((2, plan.C, plan.n))}
+        # Always the fused blocked-kernel bank: L=128 chunks when the block
+        # fits, else an L=1 per-sample Kogge-Stone plan (same state layout).
+        # The 50-scan sequential bank (state0's per-cap dict) survives only
+        # as a fallback for states built without a block size; the fused
+        # kernel is both the fast path and — via lti_blocked_df — the only
+        # path that can hand the analysis chain (hi, lo) band pairs.
+        plan = self._bank_plan(block)
+        st["bank"] = {"fused": np.zeros((2, plan.C, plan.n))}
         # per-band steering display data threaded through the state (read by
         # host_update; a traced array must never be stored on self)
         st["aux"] = np.zeros((block // m4.DOWNSAMPLE_FACTOR, N_BANDS, 2))
@@ -230,23 +233,44 @@ class Matrix4MbEffect(Effect):
                 sig[s_n] = iir.ss_series(sig[s_n], bq(c5.ap2_biquad(*self.comp[ai])))
         return [sig[f"s{k}"] for k in range(N_BANDS)]
 
-    def _bank_plan(self):
-        plan = getattr(self, "_bank_plan_cache", None)
-        if plan is None:
+    def _bank_plan(self, block):
+        """Blocked-kernel plan for the whole 13-band tree. L=128 when the
+        block fits the chunked kernel, else L=1 (the same kernel degenerates
+        into a per-sample Kogge-Stone df scan) — mirrors matrix4._bp_plan."""
+        L = iir.BLOCKED_L if (block % iir.BLOCKED_L == 0 and block >= 2 * iir.BLOCKED_L) else 1
+        plans = getattr(self, "_bank_plans", None)
+        if plans is None:
+            plans = self._bank_plans = {}
+        if L not in plans:
             stacked = iir.ss_stack(self._band_systems())
-            plan = iir.CascadeBlockedPlan.from_ss(stacked)
-            self._bank_plan_cache = plan
-        return plan
+            plans[L] = iir.CascadeBlockedPlan.from_ss(stacked, L=L)
+        return plans[L]
 
     def _run_bank_fused(self, st, x2):
-        """x2: [B, 2] -> ([2, 26, n] state, bands [B, NB, 2])."""
+        """x2: [B, 2] -> ([2, 26, n] state, bands [B, NB, 2], bands_ana).
+
+        bands is plain f32/f64 for the audio path; bands_ana is the same
+        signal as an uncollapsed dfx.DF (hi, lo) pair under f32 (plain alias
+        otherwise). The analysis chain must see ~f64-accurate band values:
+        collapsing to f32 leaves ~1e-8 absolute filter error that swamps the
+        quiet top bands' envelopes (band-12 scale ~1e-7 on program material)
+        and flips event decisions, which the cross-band threshold modulation
+        then propagates into the loud bands' steering (measured -36.5 dBFS
+        full-f32 vs -121.3 dBFS with f64 control pinned, 32k-frame probe)."""
         import jax.numpy as jnp
 
-        plan = self._bank_plan()
+        from dsp_tpu.ops import dfx as dx
+
+        plan = self._bank_plan(x2.shape[0])
         B = x2.shape[0]
         xt = jnp.tile(x2, (1, N_BANDS))  # cols: [b0L, b0R, b1L, b1R, ...]
+        if x2.dtype == jnp.float32:
+            st2, (yh, yl) = iir.lti_blocked_df(plan, st, xt)
+            bands = yh.reshape(B, N_BANDS, 2)
+            return st2, bands, dx.DF(bands, yl.reshape(B, N_BANDS, 2))
         st2, y = iir.lti_blocked(plan, st, xt)
-        return st2, y.reshape(B, N_BANDS, 2)
+        bands = y.reshape(B, N_BANDS, 2)
+        return st2, bands, bands
 
     def signal(self):
         if self.cfg.enable_signal:  # matrix4_mb.c:686: no handler otherwise
@@ -353,38 +377,51 @@ class Matrix4MbEffect(Effect):
         fsh_new, s_pre = self._biquad_cascade(
             self.fshape_c, fsh_st, jnp.stack([x[:, c0], x[:, c1]], axis=1)
         )
-        # filter bank
+        # f32 chains run the whole control path in double-float (see
+        # matrix4.py / ops.dfx): band signals, envelope accumulators, the
+        # per-band event-engine scans, and the event-threshold EWMA below
+        from dsp_tpu.ops import dfx as dx
+
+        use_df = x.dtype == jnp.float32
+
+        # filter bank; bands_ana is a DF (hi, lo) pair under f32
         if "fused" in state["bank"]:
-            fst, bands = self._run_bank_fused(state["bank"]["fused"], s_pre)
+            fst, bands, bands_ana = self._run_bank_fused(state["bank"]["fused"], s_pre)
             bst = {"fused": fst}
         else:
             bst, bands = self._run_bank(state["bank"], s_pre)  # [B, NB, 2]
+            bands_ana = bands
 
         # frequency-masked analysis signals (matrix4_mb.c:391-392)
         if cfg.freq_mask != 0.0:
             fmw = np.tril(
                 cfg.freq_mask ** (np.arange(N_BANDS)[:, None] - np.arange(N_BANDS)[None, :])
             ) * np.tril(np.ones((N_BANDS, N_BANDS)))
-            fmw = jnp.asarray(fmw, dtype=x.dtype)
-            ana = jnp.einsum("kj,bjc->bkc", fmw, bands)
+            if dx.is_df(bands_ana):
+                # lower-triangular mask as an exact-const DF contraction
+                # (13x13/2 multiply-adds on [B, 2] pairs)
+                cols = []
+                for k in range(N_BANDS):
+                    acc = bands_ana[:, k]
+                    for j in range(k):
+                        acc = acc + bands_ana[:, j] * float(fmw[k, j])
+                    cols.append(acc)
+                ana = dx.stack(cols, axis=1)
+            else:
+                fmw = jnp.asarray(fmw, dtype=x.dtype)
+                ana = jnp.einsum("kj,bjc->bkc", fmw, bands_ana)
         else:
-            ana = bands
+            ana = bands_ana
 
-        # envelope EWMAs at audio rate, per band: [B, NB, 8]
+        # envelope EWMAs at audio rate, per band: [B, NB, 8] (DF under f32)
         l_b = ana[:, :, 0]
         r_b = ana[:, :, 1]
         sum_b = l_b + r_b
         diff_b = l_b - r_b
-        env_in = jnp.stack(
-            [jnp.abs(l_b), jnp.abs(r_b), jnp.abs(sum_b), jnp.abs(diff_b),
+        env_in = dx.stack(
+            [dx.absolute(l_b), dx.absolute(r_b), dx.absolute(sum_b), dx.absolute(diff_b),
              l_b * l_b, r_b * r_b, sum_b * sum_b, diff_b * diff_b], axis=2,
         )
-        # f32 chains run the whole control path in double-float (see
-        # matrix4.py / ops.dfx): envelope accumulators, per-band event-engine
-        # scans, and the event-threshold EWMA below
-        from dsp_tpu.ops import dfx as dx
-
-        use_df = x.dtype == jnp.float32
         env_m, env_m_lo, envs = m4.env_ewma_scan(
             state["env_m"].astype(x.dtype),
             state["env_m_lo"] if use_df else None,

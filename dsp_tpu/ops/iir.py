@@ -593,12 +593,17 @@ def _lti_blocked_impl(plan, state, x, df_out=False):
             jnp.asarray(plan.AL_hi), jnp.asarray(plan.AL_lo), state[0], state[1]
         )
         v0h, v0l = _df_add(vh[0], vl[0], s0h_in, s0l_in)
-        wh = jnp.concatenate([v0h[None], vh[1:]], axis=0)
-        wl = jnp.concatenate([v0l[None], vl[1:]], axis=0)
+        wh = vh.at[0].set(v0h)
+        wl = vl.at[0].set(v0l)
         # carry chain as a Kogge-Stone doubling scan: the per-chunk matrix is
         # CONSTANT (AL), so prefix matrices never need computing in-graph —
         # each level applies the host-precomputed power AL^(2^l) to shifted
-        # partial sums (matrix-VECTOR df work only, ~n^2 not n^3)
+        # partial sums (matrix-VECTOR df work only, ~n^2 not n^3).
+        # Levels update in place (dynamic-update-slice), NOT via iterated
+        # jnp.concatenate: XLA:CPU's concat emitter re-inlines each operand's
+        # whole upstream expression, so a chain of level concats re-evaluates
+        # every prior level per level (~2^levels work; measured 303 ms for a
+        # 32-sample block of the matrix4_mb bank vs ~1 ms with DUS).
         lvl = 0
         span = 1
         while span < Nc:
@@ -607,8 +612,8 @@ def _lti_blocked_impl(plan, state, x, df_out=False):
             Ml = jnp.asarray(Ml_np)
             ph, pl = _df_matvec_n(Mh, Ml, wh[:-span], wl[:-span])
             uh, ul = _df_add(wh[span:], wl[span:], ph, pl)
-            wh = jnp.concatenate([wh[:span], uh], axis=0)
-            wl = jnp.concatenate([wl[:span], ul], axis=0)
+            wh = wh.at[span:].set(uh)
+            wl = wl.at[span:].set(ul)
             lvl += 1
             span *= 2
         sh, sl = wh, wl  # inclusive prefix: state after chunk k

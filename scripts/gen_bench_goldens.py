@@ -60,6 +60,95 @@ FAMILIES = {
 }
 
 
+D_TICK = 32  # m4_engine.DOWNSAMPLE_FACTOR (control rate fs/32)
+
+
+def fit_ics(vals):
+    """Recover the per-tick parabolic-interpolator coefficient sets from a
+    per-sample matrix-value stream.
+
+    matrix4_mb._control evaluates vals[i] = (c2*t + c1)*t + c0 with
+    t = ((i+1) % D)/D and coefficient set (i+1)//D, so set k >= 1 is an exact
+    quadratic through samples i = k*D-1, k*D, k*D+1 (t = 0, 1/D, 2/D). Set 0
+    is the effect's initial interp_c state (not fitted). Returns
+    [N//D, 3, ...] float64."""
+    n_t = len(vals) // D_TICK
+    u = 1.0 / D_TICK
+    s0 = vals[D_TICK - 1 :: D_TICK][:n_t]
+    s1 = vals[D_TICK :: D_TICK][: len(s0)]
+    s2 = vals[D_TICK + 1 :: D_TICK][: len(s0)]
+    if len(s1) < len(s0):  # final tick has only its t=0 sample
+        pad = np.zeros((len(s0) - len(s1),) + s0.shape[1:])
+        s1 = np.concatenate([s1, pad])
+        s2 = np.concatenate([s2, pad])
+    c2 = (s2 - 2.0 * s1 + s0) / (2.0 * u * u)
+    c1 = (s1 - s0) / u - c2 * u
+    return np.stack([s0, c1, c2], axis=1)
+
+
+def replay_vals(ics0, ics, n, dtype=np.float64):
+    """Rebuild the per-sample vals stream from stored tick coefficients.
+
+    ics0: the effect's initial interp_c [3, ...] (set 0); ics: fitted sets
+    [Nt, 3, ...]. Mirrors the interpolation in matrix4_mb._control exactly."""
+    all_ics = np.concatenate([np.asarray(ics0, np.float64)[None],
+                              np.asarray(ics, np.float64)], axis=0)
+    i = np.arange(n)
+    set_idx = (i + 1) // D_TICK
+    t = ((i + 1) % D_TICK).astype(np.float64) / D_TICK
+    coefs = all_ics[set_idx]  # [n, 3, ...]
+    t = t.reshape((n,) + (1,) * (coefs.ndim - 2))
+    return ((coefs[:, 2] * t + coefs[:, 1]) * t + coefs[:, 0]).astype(dtype)
+
+
+def render_matrix4_mb_f64_with_ctl(block=65536):
+    """f64 CPU render of the matrix4_mb family chain that ALSO captures the
+    control stream (per-sample matrix vals -> fitted tick coefficients).
+
+    The free-running f32-vs-f64 comparison is NOT a meaningful precision
+    metric for this effect: the event engine is chaotic at the quiet bands'
+    leakage level — a controlled experiment (f64 arithmetic, identical
+    state, input merely rounded to f32) produced max |Δvals| = 0.124, the
+    same scale as the full-f32 divergence, on the bench program signal
+    (scripts/m4mb_chaos_probe.py). bench.py therefore replays THIS control
+    stream through the f32 audio path and reports that as matrix4_mb_dbfs
+    (implementation precision), alongside an informative free-run figure."""
+    import jax
+
+    import dsp_tpu.config as cfg
+
+    cfg.set_sample_dtype("float64")
+    import jax.numpy as jnp
+
+    from dsp_tpu.chain import build_chain_from_string
+    from dsp_tpu.core.types import StreamInfo
+
+    x = program_signal()
+    chain = build_chain_from_string(FAMILIES["matrix4_mb"], StreamInfo(FS, 2))
+    fir, mb = chain.effects[0], chain.effects[1]
+    n_in = len(x)
+    n_blocks = -(-n_in // block)
+    xp = np.zeros((n_blocks * block, 2))
+    xp[:n_in] = x
+
+    fst = jax.tree_util.tree_map(jnp.asarray, fir.state_for_block(block))
+    mst = jax.tree_util.tree_map(jnp.asarray, mb.state_for_block(block))
+    fir_j = jax.jit(fir.step)
+    ctl_j = jax.jit(mb._control)
+    audio_j = jax.jit(mb._audio)
+    ys, vs = [], []
+    for i in range(n_blocks):
+        xb = jnp.asarray(xp[i * block : (i + 1) * block])
+        fst, xf = fir_j(fst, xb)
+        ctl, vals, _ = ctl_j(mst, xf)
+        mst, y = audio_j(mst, xf, vals, ctl)
+        ys.append(np.asarray(y, np.float64))
+        vs.append(np.asarray(vals, np.float64))
+    y = np.concatenate(ys)[:n_in]
+    vals = np.concatenate(vs)[:n_in]
+    return y, fit_ics(vals)
+
+
 def render_family(name, dtype, block=65536):
     import jax.numpy as jnp
 
@@ -91,12 +180,20 @@ def render_family(name, dtype, block=65536):
 def main():
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench_goldens")
     os.makedirs(out_dir, exist_ok=True)
+    only = sys.argv[1:] or None
     for name in list(FAMILIES) + ["fir"]:
+        if only and name not in only:
+            continue
         print(f"rendering {name} (f64)...", flush=True)
-        y = render_family(name, "float64")
+        extra = {}
+        if name == "matrix4_mb":
+            y, ics = render_matrix4_mb_f64_with_ctl()
+            extra["ics"] = ics.astype(np.float32)
+        else:
+            y = render_family(name, "float64")
         hi = y.astype(np.float32)
         lo = (y - hi.astype(np.float64)).astype(np.float32)
-        np.savez_compressed(os.path.join(out_dir, f"{name}.npz"), hi=hi, lo=lo)
+        np.savez_compressed(os.path.join(out_dir, f"{name}.npz"), hi=hi, lo=lo, **extra)
         print(f"  {name}: {y.shape} -> {os.path.getsize(os.path.join(out_dir, name + '.npz'))//1024} KiB", flush=True)
 
 

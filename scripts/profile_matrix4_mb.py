@@ -87,7 +87,6 @@ def main():
     record("audio", timeit(audio, state, x, vals, ctl))
 
     if "fused" in state["bank"]:
-        plan = mb._bank_plan()
         bank = jax.jit(lambda st, xx: mb._run_bank_fused(st, xx))
         record("bank", timeit(bank, state["bank"]["fused"], x))
 

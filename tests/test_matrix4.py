@@ -139,9 +139,9 @@ class TestMatrix4MbBankPaths:
         bst0 = jax.tree_util.tree_map(jnp.asarray, eff._bank_state0())
         _, bands_legacy = eff._run_bank(bst0, x2)
 
-        plan = eff._bank_plan()
+        plan = eff._bank_plan(4096)
         fst0 = jnp.zeros((2, plan.C, plan.n), jnp.float64)
-        _, bands_fused = eff._run_bank_fused(fst0, x2)
+        _, bands_fused, _ = eff._run_bank_fused(fst0, x2)
 
         err = float(np.abs(np.asarray(bands_legacy) - np.asarray(bands_fused)).max())
         assert err < 1e-9, f"bank paths disagree: {err:.3e}"
