@@ -803,6 +803,88 @@ class CompiledChain:
             y = y[:, self.chain.output_discard :]
         return y
 
+    def split_safe(self):
+        """True when every effect tolerates zero-state lookback priming
+        (Effect.split_safe); required by process_array_split."""
+        return all(getattr(e, "split_safe", True) for e in self.chain.effects)
+
+    def split_lookback_frames(self):
+        """Chain-input frames of lookback that re-establish steady state.
+
+        Sums each effect's own-rate lookback (Effect.split_lookback)
+        converted to chain-input frames — transients of a cascade convolve,
+        so the sum bounds the cascade's settle time."""
+        fs0 = self.chain.istream.fs
+        total = 0.0
+        for e in self.chain.effects:
+            total += e.split_lookback() * fs0 / e.istream.fs
+        return int(np.ceil(total))
+
+    def process_array_split(self, x, splits=8, lookback=None, drain=True, discard=True):
+        """Process ONE long [frames, in_ch] array as `splits` lookback-primed
+        segments batched over the stream axis: the single-file route onto the
+        TPU's batched throughput (single-stream scans are HBM-latency-bound;
+        batching recovers ~3x utilization — ARCHITECTURE.md). The reference
+        has no analog: its offline path is strictly sequential (dsp.c).
+
+        Segment 0 runs from the true zero state and is EXACT. Each later
+        segment starts from zero state primed with `lookback` frames of the
+        preceding input (default: split_lookback_frames()), and its primed
+        output is discarded; the residual error is the chain's impulse-
+        response tail past the lookback (the northstar chain measures below
+        -150 dBFS vs the sequential run; tests/test_split.py). Raises
+        ChainError when the chain holds split-unsafe effects (metering, PRNG
+        streams, adaptive matrix4 engines). Uses fresh states: the
+        CompiledChain's live stream state is neither consumed nor advanced.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if not self.split_safe():
+            bad = [e.name for e in self.chain.effects if not getattr(e, "split_safe", True)]
+            raise ChainError(f"chain is not split-safe (effects: {', '.join(bad)})")
+        x = np.asarray(x, dtype=np.float64)
+        n_in = len(x)
+        pad = self.chain.drain_frames if drain else 0
+        total = n_in + pad
+        B = self.block_frames
+        out_valid = expected_out_frames(self.chain, n_in, drain)
+        b_out = int(B * self.chain.ratio)
+        nb = max(1, -(-total // B), -(-out_valid // b_out))
+        if lookback is None:
+            lookback = self.split_lookback_frames()
+        wb = -(-int(lookback) // B)
+        seg_nb = max(1, -(-nb // int(splits)))
+        S = -(-nb // seg_nb)
+        xp = np.zeros((nb * B, x.shape[1]), dtype=np.float64)
+        xp[:n_in] = x
+        xs = np.zeros((S, (wb + seg_nb) * B, x.shape[1]), dtype=np.float64)
+        for k in range(S):
+            s0 = k * seg_nb * B
+            w0 = max(0, s0 - wb * B)
+            seg = xp[w0 : min(nb * B, s0 + seg_nb * B)]
+            off = wb * B - (s0 - w0)
+            xs[k, off : off + len(seg)] = seg
+        states0 = [self._initial_state(e) for e in self._runtime_effects]
+
+        def tile(leaf):
+            a = jnp.asarray(leaf)
+            return jnp.broadcast_to(a[None], (S,) + a.shape)
+
+        states = jax.tree_util.tree_map(tile, states0)
+
+        def one(st, xblocks):
+            return jax.lax.scan(self._step_fn_raw, st, xblocks)
+
+        xj = jnp.asarray(xs.reshape(S, wb + seg_nb, B, x.shape[1]), dtype=self.dtype)
+        _, ys = jax.vmap(one)(states, xj)
+        ys = fetch_np(ys, dtype=np.float64)  # [S, wb+seg_nb, b_out, ch]
+        y = ys.reshape(S, -1, ys.shape[-1])[:, wb * b_out :]
+        y = y.reshape(-1, y.shape[-1])[:out_valid]
+        if discard and self.chain.output_discard:
+            y = y[self.chain.output_discard :]
+        return y
+
 
 def chain_needs_dither(chain):
     """True if any effect modifies the signal such that dither is useful

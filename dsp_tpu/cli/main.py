@@ -365,6 +365,77 @@ class OutputWriter:
         self.codec.write(buf)
 
 
+def _input_chunks(state, want_frames):
+    """Yield raw input buffers across all inputs, honoring -T ranges and -l
+    repeats (concatenate mode, dsp.c's read loop)."""
+    for inp in state.inputs:
+        c = inp.codec
+        pos = inp.start_pos
+        repeats = inp.repeats
+        while True:
+            want = want_frames
+            if inp.end_pos >= 0:
+                want = min(want, inp.end_pos - pos)
+            buf = c.read(want) if want > 0 else np.zeros((0, c.channels))
+            if len(buf) == 0:
+                if repeats != 0:
+                    if repeats > 0:
+                        repeats -= 1
+                    if c.seek(inp.start_pos) >= 0:
+                        pos = inp.start_pos
+                        continue
+                break
+            pos += len(buf)
+            yield buf
+            if inp.end_pos >= 0 and pos >= inp.end_pos:
+                if repeats != 0:
+                    if repeats > 0:
+                        repeats -= 1
+                    if c.seek(inp.start_pos) >= 0:
+                        pos = inp.start_pos
+                        continue
+                break
+
+
+def run_offline_split(state, chain, out_writer):
+    """Batched offline fast path (``DSP_TPU_SPLIT=<segments>``): read the
+    whole input, cut it into lookback-primed segments, and run them batched
+    over the stream axis (CompiledChain.process_array_split) — single-stream
+    scans are HBM-latency-bound on the TPU and batching recovers ~3x device
+    utilization on ONE file. The reference's offline path is strictly
+    sequential (dsp.c:612-659); this is new, TPU-motivated surface, opt-in
+    via the environment because it trades whole-stream host memory and the
+    segment-boundary accuracy contract (tests/test_split.py) for throughput.
+
+    Returns frames written, or None to fall back to the streaming loop —
+    the fallback decision is made BEFORE any input is consumed."""
+    try:
+        splits = int(os.environ.get("DSP_TPU_SPLIT", "0"))
+    except ValueError:
+        log.warn("warning: DSP_TPU_SPLIT is not an integer; ignoring")
+        return None
+    if splits < 2:
+        return None
+    cc = CompiledChain(chain, block_frames=state.block_frames)
+    if not cc.split_safe():
+        log.verbose("DSP_TPU_SPLIT: chain is not split-safe; streaming instead")
+        return None
+    bufs = list(_input_chunks(state, 1 << 20))
+    x = (np.concatenate(bufs, axis=0) if bufs
+         else np.zeros((0, chain.istream.channels)))
+    drain = bool(state.drain_effects)
+    # each segment must dwarf its lookback re-compute or batching loses
+    if len(x) < splits * 4 * cc.split_lookback_frames():
+        log.verbose("DSP_TPU_SPLIT: input too short to amortize lookback; "
+                    "running sequentially")
+        y = cc.process_array(x, drain=drain, discard=True)
+    else:
+        y = cc.process_array_split(x, splits=splits, drain=drain, discard=True)
+    out_writer.write(y)
+    cc.host_finish()
+    return len(y)
+
+
 def run_offline(state, chain, out_writer, progress_cb=None):
     """Concatenate-mode batch processing: read -> chain (batched blocks on
     device) -> write. Many blocks per dispatch amortize the TPU tunnel."""
@@ -456,36 +527,11 @@ def run_offline(state, chain, out_writer, progress_cb=None):
         return pushed
 
     total_in = 0
-    for inp in state.inputs:
-        c = inp.codec
-        pos = inp.start_pos
-        repeats = inp.repeats
-        while True:
-            want = B * meta_blocks
-            if inp.end_pos >= 0:
-                want = min(want, inp.end_pos - pos)
-            buf = c.read(want) if want > 0 else np.zeros((0, c.channels))
-            if len(buf) == 0:
-                if repeats != 0:
-                    if repeats > 0:
-                        repeats -= 1
-                    if c.seek(inp.start_pos) >= 0:
-                        pos = inp.start_pos
-                        continue
-                break
-            pos += len(buf)
-            total_in += len(buf)
-            push(buf)
-            if progress_cb:
-                progress_cb(total_in, written)
-            if inp.end_pos >= 0 and pos >= inp.end_pos:
-                if repeats != 0:
-                    if repeats > 0:
-                        repeats -= 1
-                    if c.seek(inp.start_pos) >= 0:
-                        pos = inp.start_pos
-                        continue
-                break
+    for buf in _input_chunks(state, B * meta_blocks):
+        total_in += len(buf)
+        push(buf)
+        if progress_cb:
+            progress_cb(total_in, written)
     # drain (feed chain.drain_frames of silence; effects_chain.c:1186-1218)
     # the true stream length (input + drain) is known now: stop measurement
     # effects (stats) there so final-block zero padding never enters them
@@ -637,7 +683,11 @@ def main(argv=None):
                                   enable_ui=False)
         else:
             cb = _offline_progress(state)
-            run_offline(state, chain, writer, progress_cb=cb)
+            done = None
+            if os.environ.get("DSP_TPU_SPLIT"):
+                done = run_offline_split(state, chain, writer)
+            if done is None:
+                run_offline(state, chain, writer, progress_cb=cb)
             if cb is not None:
                 sys.stderr.write("\r\033[K")
                 sys.stderr.flush()

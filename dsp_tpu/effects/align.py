@@ -30,6 +30,9 @@ class AlignEffect(Effect):
         self.discard_frames = int(discard_frames)
         self.maxlen = int(self.lens.max()) if n else 0
 
+    def split_lookback(self):
+        return self.maxlen
+
     def state0(self):
         return np.zeros((self.maxlen, self.istream.channels), dtype=np.float64)
 

@@ -94,6 +94,22 @@ class Effect:
     flags: int = 0
     ratio: Fraction = Fraction(1)
 
+    # Offline split processing (CompiledChain.process_array_split): True when
+    # running this effect from a zero state primed with enough preceding
+    # input reproduces the sequential output to below the numerical noise
+    # floor. False for effects whose state is not a decaying function of the
+    # recent input: host-visible accumulators (stats/levels/watch), PRNG
+    # streams (noise/dither/mod-delay), external plugins, and the adaptive
+    # matrix4 event engines (multi-second ring buffers + discrete decisions).
+    split_safe = True
+
+    def split_lookback(self):
+        """Frames of preceding input (at this effect's input rate) that
+        re-establish steady state from zeros for split processing. The 1 s
+        default covers fast-settling filters; effects with long memory
+        (long FIRs, near-unit-circle poles, explicit delays) override."""
+        return int(self.istream.fs)
+
     # --- compute path ---
 
     def state0(self):

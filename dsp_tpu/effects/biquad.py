@@ -42,6 +42,29 @@ HIGHPASS_TRANSFORM = 17
 DEEMPH = 18
 BIQUAD = 19
 
+def biquad_settle_frames(c, fs, eps=1e-9, cap_s=60.0):
+    """Frames for the impulse response of biquads c [5, C] to decay to eps.
+
+    Pole radius from z^2 + a1 z + a2 (c rows 3/4); n = ln(eps)/ln(r). Capped
+    at cap_s seconds: a pole that close to the unit circle never truly
+    settles, and the split-processing caller degrades gracefully (larger
+    warmup error) rather than exploding the lookback.
+    """
+    n = 0.0
+    for k in range(c.shape[1]):
+        a1, a2 = float(c[3, k]), float(c[4, k])
+        if a1 == 0.0 and a2 == 0.0:
+            continue
+        r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
+        if r <= eps:
+            continue
+        if r >= 1.0 - 1e-12:
+            n = cap_s * fs
+            break
+        n = max(n, np.log(eps) / np.log(r))
+    return int(min(n, cap_s * fs))
+
+
 WIDTH_Q = 1
 WIDTH_SLOPE = 2
 WIDTH_SLOPE_DB = 3
@@ -266,6 +289,9 @@ class BiquadEffect(Effect):
         for k in range(n):
             if self.channel_selector[k]:
                 self.c[:, k] = coeffs
+
+    def split_lookback(self):
+        return biquad_settle_frames(self.c, self.istream.fs)
 
     def state0(self):
         # [hi/lo, C, 2]: double-float pair of TDF2 memories so block
@@ -509,6 +535,11 @@ class FusedBiquadCascade:
         self.istream = effects[0].istream
         self.ostream = effects[-1].ostream
         self._plan = iir.CascadeBlockedPlan([e.c for e in effects])
+
+    def split_lookback(self):
+        # cascade transients convolve: the sum of per-section settle times
+        # bounds the cascade's settle time
+        return sum(e.split_lookback() for e in self.effects)
 
     def state0(self):
         return np.zeros((2, self.istream.channels, self._plan.n), dtype=np.float64)

@@ -95,6 +95,9 @@ class DecorrelateEffect(Effect):
         log.verbose("%s: info: impulse response length %d", name, max_len)
         self._engines = {}
 
+    def split_lookback(self):
+        return int(self.filters.shape[1])
+
     def _engine(self, B):
         eng = self._engines.get(B)
         if eng is None:

@@ -177,6 +177,10 @@ class DelayEffect(Effect):
         lat = np.zeros(self.ostream.channels, dtype=np.int64)
         return lat, self.samples_int.copy()
 
+    def split_lookback(self):
+        # delay-line memory plus the Thiran allpass tail (fast pole)
+        return int(self.samples_int.max(initial=0)) + 4096
+
     def drain_samples(self, samples):
         for k in range(self.istream.channels):
             samples[k] += int(self.fd_ap_n[k])
@@ -242,6 +246,8 @@ def _make_polyphase_table(n_phases, taps, fc, stop_db):
 
 class ModDelayEffect(Effect):
     """Randomly modulated delay line (-m/-M options of delay)."""
+
+    split_safe = False  # PRNG-driven modulator: segments would replay it
 
     def plot(self, idx, channel_offset=0):
         # the modulator list-member uses effect_plot_noop (delay.c:651)

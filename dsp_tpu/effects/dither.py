@@ -39,6 +39,8 @@ _TYPES = {
 
 
 class DitherEffect(Effect):
+    split_safe = False  # PRNG stream: segments would replay the sequence
+
     def __init__(self, name, istream, selector, shape, noise_bits, quantize_bits,
                  noise_auto, quantize_auto, seed=0):
         self.name = name

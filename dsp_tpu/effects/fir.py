@@ -55,6 +55,9 @@ class FirEffect(Effect):
         self.partitioned = partitioned
         self._engines = {}
 
+    def split_lookback(self):
+        return int(self.filter_frames)
+
     def _engine(self, B):
         eng = self._engines.get(B)
         if eng is None:

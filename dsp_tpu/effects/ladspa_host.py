@@ -151,6 +151,8 @@ class _Instance:
 
 
 class LadspaHostEffect(Effect):
+    split_safe = False  # external plugin: opaque sequential state
+
     def __init__(self, name, istream, selector, dir_, module_path, label, controls):
         self.name = name
         self.istream = istream

@@ -39,6 +39,8 @@ def draw_bar(avg, peak):
 
 
 class LevelsEffect(Effect):
+    split_safe = False  # host-visible meters
+
     def __init__(self, name, istream, selector, tc):
         self.name = name
         self.istream = istream

@@ -265,6 +265,9 @@ def matrix4_config_init(name, istream, selector, argv, is_mb):
 
 
 class Matrix4Effect(Effect):
+    # adaptive event engine: multi-second ring buffers and discrete
+    # decisions make zero-state priming content-dependent, not bounded
+    split_safe = False
 
     def __init__(self, name, istream, selector, argv):
         cfg = matrix4_config_init(name, istream, selector, argv, is_mb=False)

@@ -55,6 +55,8 @@ def _fshape_coeffs(fs, inv):
 
 
 class Matrix4MbEffect(Effect):
+    split_safe = False  # see Matrix4Effect: adaptive event engine
+
     def __init__(self, name, istream, selector, argv):
         cfg = matrix4_config_init(name, istream, selector, argv, is_mb=True)
         self.cfg = cfg

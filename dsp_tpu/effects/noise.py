@@ -32,6 +32,8 @@ def parse_level(s):
 
 
 class NoiseEffect(Effect):
+    split_safe = False  # PRNG stream: segments would replay the sequence
+
     def __init__(self, name, istream, selector, mult, seed=0):
         self.name = name
         self.istream = istream

@@ -42,6 +42,11 @@ class ResampleEffect(Effect):
     def state0(self):
         return self.rs.state0(self.istream.channels)
 
+    def split_lookback(self):
+        # overlap-save memory: one input block plus the (oversampled-
+        # domain, hence over-counted) prototype filter length
+        return int(self.rs.in_len + self.rs.filter_len)
+
     def step(self, state, x):
         import jax
         import jax.numpy as jnp

@@ -128,6 +128,10 @@ class ReverseIirEffect(Effect):
         log.verbose("%s: info: reverse_iir length %d", self.name, maxlen)
         self._engines = {}
 
+    def split_lookback(self):
+        # truncated reversed IR (pure FIR) plus a bound on any residual
+        return int(self.filters.shape[1]) + int(self.istream.fs)
+
     def _engine(self, B):
         eng = self._engines.get(B)
         if eng is None:

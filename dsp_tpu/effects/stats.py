@@ -105,6 +105,8 @@ _INSERT_H = _derive_insert_layout()
 
 
 class StatsEffect(Effect):
+    split_safe = False  # host-visible whole-stream accumulators
+
     def __init__(self, name, istream, selector, ref_level, width, interp):
         self.name = name
         self.istream = istream

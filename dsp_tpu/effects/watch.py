@@ -27,6 +27,8 @@ EOF_MARKER = "#EOF#"
 
 
 class WatchEffect(Effect):
+    split_safe = False  # hot-reload swaps state mid-stream
+
     def __init__(self, name, istream, selector, dir_, path, enforce_eof):
         from dsp_tpu.chain.chain import Chain, finish_chain
         from dsp_tpu.chain.parser import ChainParseError, parse_file_into

