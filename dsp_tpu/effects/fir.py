@@ -28,7 +28,7 @@ from dsp_tpu.effects.base import (
     register_effect,
 )
 from dsp_tpu.effects.fir_util import filter_offset, parse_fir_opts, read_filter
-from dsp_tpu.ops.fft_conv import OlsConv, UpolsConv
+from dsp_tpu.ops.fft_conv import NupolsConv, OlsConv, UpolsConv
 
 
 class FirEffect(Effect):
@@ -65,12 +65,24 @@ class FirEffect(Effect):
             # order of the block; a long filter at a small block would redo
             # an O(F) FFT per block, so delegate to the partitioned FDL
             # engine (identical output, fft_conv.py)
-            cls = (
-                UpolsConv
-                if self.partitioned or self.filter_frames > 4 * B
-                else OlsConv
-            )
-            eng = cls(self.filters, B)
+            if self.partitioned or self.filter_frames > 4 * B:
+                k_uniform = -(-self.filter_frames // B)
+                # VERY long filters at SMALL blocks (realtime regimes): a
+                # uniform FDL touches all k_uniform partition spectra every
+                # block; switch to the two-group non-uniform engine
+                # (fft_conv.NupolsConv, the fir_p.c:290-335 analog) once the
+                # count is large enough that its cond/staging overhead pays
+                # for itself. m ~ sqrt(F/B) balances head and tail groups.
+                if k_uniform >= 64:
+                    import math
+
+                    m = 1 << round(math.log2(math.sqrt(self.filter_frames / B)))
+                    m = max(2, m)
+                    eng = NupolsConv(self.filters, B, m)
+                else:
+                    eng = UpolsConv(self.filters, B)
+            else:
+                eng = OlsConv(self.filters, B)
             self._engines[B] = eng
         return eng
 

@@ -17,6 +17,22 @@ Two TPU-native designs replace the reference's three CPU engines:
   internal threading: the latency-hiding the reference gets from threads is
   unnecessary because the whole MAC is a single fused device op.
 
+* ``nupols``: two-group non-uniform partitioning for LONG filters at SMALL
+  blocks (the regime the reference's fir_p.c:290-335 geometric groups exist
+  for). A uniform FDL at block B touches all K = F/B partition spectra every
+  step; at B=256 and F=1M that is 4096 partitions (~34 MB of HBM traffic per
+  5.8 ms of audio). The two-group engine keeps a head group at partition B
+  covering taps [0, P) and a tail group at partition P = m*B covering
+  [P, F): the tail fires once every m blocks inside ``lax.cond``, and its
+  UPOLS output for super-block s is exactly the taps>=P contribution to the
+  NEXT super-block's outputs, so scheduling adds no latency. Choosing
+  m ~ sqrt(F/B) balances the groups: per-step partition traffic drops from
+  F/B to ~2*sqrt(F/B) (64x less at B=256/F=1M). Unlike the reference, no
+  worker threads or cross-thread handoff: both groups are compiled into the
+  same jitted step. Caveat: under vmap (stream batching) the cond becomes a
+  select and the tail executes every step — callers batch at large blocks
+  where the uniform engine is selected anyway.
+
 Both operate per chain block with static shapes; state is carried in the
 effect's pytree.
 """
@@ -137,3 +153,104 @@ class UpolsConv:
         out = y[B:]
         fdl_pairs = jnp.stack([fdl.real, fdl.imag], axis=-1).astype(x.dtype)
         return {"prev": x, "fdl": fdl_pairs}, out
+
+
+class NupolsConv:
+    """Two-group non-uniform partitioned overlap-save (zero latency).
+
+    Head: UpolsConv over taps [0, P) at partition B. Tail: partition size
+    P = m*B over taps [P, F), fired by ``lax.cond`` on the last block of each
+    super-block of m chain blocks. The tail's UPOLS output computed from
+    super-block s (input frames [sP, (s+1)P), using the tail FDL of past
+    super-block spectra) equals the taps>=P contribution to output frames
+    [(s+1)P, (s+2)P), i.e. the next super-block — available exactly when the
+    fire happens, so the schedule is causal with zero added latency.
+
+    Reference analog: fir_p.c:290-335 (geometric partition groups on worker
+    threads with FDL-lag output delay). Here both groups live in one jitted
+    step; there is nothing to hand off between threads.
+    """
+
+    def __init__(self, filters, block_frames, super_mult):
+        filters = np.asarray(filters, dtype=np.float64)
+        self.C, self.F = filters.shape
+        self.B = B = block_frames
+        self.m = m = int(super_mult)
+        self.P = P = m * B
+        if self.F <= P:
+            raise ValueError("NupolsConv: filter shorter than head span; use UpolsConv")
+        self.head = UpolsConv(filters[:, :P], B)
+        tail = filters[:, P:]
+        self.K1 = K1 = max(1, -(-tail.shape[1] // P))
+        parts = np.zeros((K1, self.C, P), dtype=np.float64)
+        for k in range(K1):
+            seg = tail[:, k * P : (k + 1) * P]
+            parts[k, :, : seg.shape[1]] = seg
+        self.H1 = np.fft.rfft(
+            np.concatenate([parts, np.zeros((K1, self.C, P))], axis=2), axis=2
+        )  # [K1, C, P+1]
+
+    def state0(self):
+        P, C = self.P, self.C
+        return {
+            "head": self.head.state0(),
+            "stage": np.zeros((P, C), dtype=np.float64),       # current super-block input
+            "prev_super": np.zeros((P, C), dtype=np.float64),  # previous super-block input
+            "tail_fdl": np.zeros((self.K1, P + 1, C, 2), dtype=np.float64),
+            "tail_out": np.zeros((P, C), dtype=np.float64),    # taps>=P contribution, current super
+            "cnt": np.zeros((), dtype=np.int32),               # block index within super-block
+        }
+
+    def step(self, state, x):
+        import jax
+        import jax.numpy as jnp
+
+        B, P, m, C, K1 = self.B, self.P, self.m, self.C, self.K1
+        assert x.shape[0] == B
+        hstate, y_head = self.head.step(state["head"], x)
+        i = state["cnt"]
+        off = (i * B).astype(jnp.int32)
+        tail_seg = jax.lax.dynamic_slice(
+            state["tail_out"].astype(x.dtype), (off, jnp.int32(0)), (B, C)
+        )
+        out = y_head + tail_seg
+        stage = jax.lax.dynamic_update_slice(
+            state["stage"].astype(x.dtype), x, (off, jnp.int32(0))
+        )
+        cdtype = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+
+        def fire(stage, prev_super, tail_fdl, _tail_out):
+            seg = jnp.concatenate([prev_super, stage], axis=0)  # [2P, C]
+            X = jnp.fft.rfft(seg, axis=0)  # [P+1, C]
+            fdl_c = tail_fdl[..., 0].astype(x.dtype) + 1j * tail_fdl[..., 1].astype(x.dtype)
+            if K1 > 1:
+                fdl = jnp.concatenate([X[None].astype(cdtype), fdl_c[:-1]], axis=0)
+            else:
+                fdl = X[None].astype(cdtype)
+            H = jnp.asarray(  # host-side cast (see OlsConv.step)
+                np.ascontiguousarray(np.transpose(self.H1, (0, 2, 1)), dtype=np.dtype(cdtype))
+            )  # [K1, P+1, C]
+            Y = (fdl * H).sum(axis=0)
+            y = jnp.fft.irfft(Y, n=2 * P, axis=0).astype(x.dtype)[P:]  # [P, C]
+            fdl_pairs = jnp.stack([fdl.real, fdl.imag], axis=-1).astype(x.dtype)
+            return stage, fdl_pairs, y  # prev_super', tail_fdl', tail_out'
+
+        def hold(stage, prev_super, tail_fdl, tail_out):
+            return prev_super, tail_fdl.astype(x.dtype), tail_out.astype(x.dtype)
+
+        last = i == (m - 1)
+        prev_super, tail_fdl, tail_out = jax.lax.cond(
+            last, fire, hold, stage,
+            state["prev_super"].astype(x.dtype),
+            state["tail_fdl"], state["tail_out"],
+        )
+        cnt = jnp.where(last, jnp.int32(0), (i + 1).astype(jnp.int32))
+        new_state = {
+            "head": hstate,
+            "stage": stage,
+            "prev_super": prev_super,
+            "tail_fdl": tail_fdl,
+            "tail_out": tail_out,
+            "cnt": cnt,
+        }
+        return new_state, out

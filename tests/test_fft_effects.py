@@ -127,6 +127,78 @@ class TestFir:
         assert np.abs(y - ref[: len(y)]).max() < 1e-12
 
 
+class TestNupols:
+    """Two-group non-uniform partitioned convolution (fft_conv.NupolsConv,
+    the fir_p.c:290-335 analog): exactness, engine selection, and block-size
+    independence in the regime where it engages (filter >= 64 blocks)."""
+
+    def test_engine_selection(self):
+        from dsp_tpu.effects.fir import FirEffect
+        from dsp_tpu.ops.fft_conv import NupolsConv, UpolsConv
+
+        h = np.zeros((9000, 1))
+        h[0] = 1.0
+        e = FirEffect("fir_p", StreamInfo(44100, 1), [True], h, partitioned=True)
+        assert isinstance(e._engine(128), NupolsConv)   # 9000/128 = 71 parts
+        assert isinstance(e._engine(512), UpolsConv)    # 9000/512 = 18 parts
+        eng = e._engine(128)
+        # m ~ sqrt(F/B): balanced groups
+        assert eng.m in (4, 8, 16)
+        assert eng.P == eng.m * 128
+
+    def test_exact_vs_convolve(self, rng):
+        h = rng.uniform(-0.1, 0.1, 9000)
+        coefs = ",".join(f"{v:.17g}" for v in h)
+        c = _chain(f"fir_p coefs:{coefs}")
+        cc = CompiledChain(c, block_frames=128)
+        from dsp_tpu.ops.fft_conv import NupolsConv
+
+        assert isinstance(c.effects[0]._engine(128), NupolsConv)
+        x = rng.uniform(-1, 1, (5000, 1))
+        y = cc.process_array(x, drain=True)
+        ref = np.convolve(x[:, 0], h)[:, None]
+        assert y.shape[0] == ref.shape[0]
+        assert np.abs(y - ref).max() < 1e-11
+
+    def test_exact_multichannel_odd_block(self, rng):
+        # non-power-of-two block (rate-changed chains produce these) and
+        # per-channel filters
+        h = rng.uniform(-0.1, 0.1, (7000, 2))
+        from dsp_tpu.effects.fir import FirEffect
+        from dsp_tpu.ops.fft_conv import NupolsConv
+
+        e = FirEffect("fir_p", StreamInfo(44100, 2), [True, True], h, partitioned=True)
+        B = 96
+        eng = e._engine(B)
+        assert isinstance(eng, NupolsConv)
+        x = rng.uniform(-1, 1, (B * 40, 2))
+        st = eng.state0()
+        ys = []
+        for i in range(40):
+            st, y = eng.step(st, np.asarray(x[i * B : (i + 1) * B]))
+            ys.append(np.asarray(y))
+        y = np.concatenate(ys)
+        for k in range(2):
+            ref = np.convolve(x[:, k], h[:, k])[: len(y)]
+            assert np.abs(y[:, k] - ref).max() < 1e-11
+
+    def test_matches_uniform_engine(self, rng):
+        # identical output to the uniform FDL on the same filter/stream
+        from dsp_tpu.ops.fft_conv import NupolsConv, UpolsConv
+
+        h = rng.uniform(-0.1, 0.1, (8192, 1))
+        B = 64
+        a, b = NupolsConv(h.T, B, 8), UpolsConv(h.T, B)
+        sa, sb = a.state0(), b.state0()
+        n_blocks = 150  # > F/B so the tail FDL wraps fully
+        x = rng.uniform(-1, 1, (B * n_blocks, 1))
+        for i in range(n_blocks):
+            blk = np.asarray(x[i * B : (i + 1) * B])
+            sa, ya = a.step(sa, blk)
+            sb, yb = b.step(sb, blk)
+            assert np.abs(np.asarray(ya) - np.asarray(yb)).max() < 1e-11, i
+
+
 class TestHilbert:
     def test_90_degree_phase(self):
         # hilbert of cos is sin: check midband via analytic signal
