@@ -21,9 +21,79 @@ through the tunnel).
 
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
+
+# --- always-emit machinery -------------------------------------------------
+# Round 3's driver run was killed by an external timeout (rc=124) after all
+# but one measurement had completed, and the final JSON line never printed —
+# the whole round recorded no benchmark. Defend in depth:
+#   1. a SIGTERM/SIGINT handler emits the JSON with whatever the suite holds
+#      so far and exits 0 (GNU timeout sends SIGTERM first);
+#   2. an internal budget (DSP_TPU_BENCH_BUDGET seconds, default 1500) makes
+#      the suite skip remaining optional items and emit on its own before any
+#      plausible external deadline (measured: a healthy tunnel finishes the
+#      whole suite well inside it; a wedged one is what the budget is for).
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("DSP_TPU_BENCH_BUDGET", "1500"))
+_SUITE = {}  # filled in-place by main(); read by the signal handler
+_BACKEND = ["unknown"]
+_EMITTED = [False]
+NORTH_STAR = 1000.0
+
+
+def _emit():
+    if _EMITTED[0]:
+        return
+    _EMITTED[0] = True
+    headline = _SUITE.get("northstar")
+    value = headline if isinstance(headline, float) else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": f"realtime-multiple ({_BACKEND[0]}, 10-effect stereo 44.1k chain, f32)",
+                "value": value,
+                "unit": "x realtime",
+                "vs_baseline": round(value / NORTH_STAR, 3),
+                "suite": _SUITE,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _on_term(signum, frame):  # pragma: no cover - driver-timeout path
+    _SUITE["truncated"] = f"signal {signum} at {time.monotonic() - _T0:.0f}s"
+    _emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
+
+
+def _watchdog():  # pragma: no cover - wedged-tunnel path
+    """Hard deadline that works even when the main thread is stuck inside a
+    blocking C call (observed: tcp_recvmsg on a wedged TPU tunnel, where a
+    Python signal handler never gets a chance to run). Emits whatever the
+    suite holds and exits 0 so the driver records a parseable line."""
+    _SUITE["truncated"] = f"watchdog at {time.monotonic() - _T0:.0f}s"
+    _emit()
+    os._exit(0)
+
+
+def _arm_watchdog():
+    import threading
+
+    t = threading.Timer(_BUDGET + 180.0, _watchdog)
+    t.daemon = True
+    t.start()
+
+
+def _over_budget():
+    return time.monotonic() - _T0 > _BUDGET
 
 CHAIN = (
     "gain -3 "
@@ -43,7 +113,6 @@ CHANNELS = 2
 BLOCK = 65536
 N_BLOCKS = 16
 REPS = 5
-NORTH_STAR = 1000.0
 
 
 def write_filter_wav(path, taps, channels=1, seed=0xBE):
@@ -168,7 +237,7 @@ def bench_cli_latency(tmp):
             "warm_s": round(warm, 2), "warm_attrib_s": round(warm - floor, 2)}
 
 
-def _matrix4_mb_accuracy(gold_dir, block=32768):
+def _matrix4_mb_accuracy(gold_dir, block=32768, max_blocks=3):
     """matrix4_mb f32 accuracy with the golden's f64 control stream replayed.
 
     Free-running f32-vs-f64 is NOT a precision metric for this effect: the
@@ -206,6 +275,13 @@ def _matrix4_mb_accuracy(gold_dir, block=32768):
     x = program_signal()
     n_in = len(x)
     n_blocks = -(-n_in // block)
+    # a prefix bounds the non-event arithmetic stages just as well as the
+    # full signal, at a fraction of the cost (this measurement is what blew
+    # round 3's external bench deadline)
+    if max_blocks and n_blocks > max_blocks:
+        n_blocks = max_blocks
+        n_in = min(n_in, n_blocks * block)
+        x = x[:n_in]
     xp = np.zeros((n_blocks * block, 2))
     xp[:n_in] = x
     n_pad = n_blocks * block
@@ -221,17 +297,20 @@ def _matrix4_mb_accuracy(gold_dir, block=32768):
 
     fst = jax.tree_util.tree_map(jnp.asarray, cast32(fir.state_for_block(block)))
     mst = jax.tree_util.tree_map(jnp.asarray, cast32(mb.state_for_block(block)))
-    fir_j = jax.jit(fir.step)
-    ctl_j = jax.jit(mb._control)
-    audio_j = jax.jit(mb._audio)
+
+    @jax.jit  # one compile for the whole replay step (tunnel compiles cost ~minutes)
+    def replay_step(fst, mst, xb, vb):
+        fst, xf = fir.step(fst, xb)
+        ctl, v32, _ = mb._control(mst, xf)
+        mst, y = mb._audio(mst, xf, vb, ctl)
+        return fst, mst, y, v32
+
     ys = []
     ctl_err = 0.0
     for i in range(n_blocks):
         xb = jnp.asarray(xp[i * block : (i + 1) * block], jnp.float32)
         vb = jnp.asarray(vals_all[i * block : (i + 1) * block])
-        fst, xf = fir_j(fst, xb)
-        ctl, v32, _ = ctl_j(mst, xf)
-        mst, y = audio_j(mst, xf, vb, ctl)
+        fst, mst, y, v32 = replay_step(fst, mst, xb, vb)
         print(f"#   m4mb replay block {i + 1}/{n_blocks}", file=sys.stderr, flush=True)
         ys.append(np.asarray(y, np.float64))
         ctl_err = max(ctl_err, float(np.abs(
@@ -264,31 +343,39 @@ def accuracy_suite():
     prev = cfg.sample_dtype()
     try:
         for name in list(FAMILIES) + ["fir"]:
+            key = f"{name}_freerun_dbfs" if name == "matrix4_mb" else f"{name}_dbfs"
             path = os.path.join(gold_dir, f"{name}.npz")
             if not os.path.exists(path):
-                out[f"{name}_dbfs"] = "error: golden missing"
+                out[key] = "error: golden missing"
                 continue
+            if _over_budget():
+                out[key] = "skipped: budget"
+            else:
+                try:
+                    g = np.load(path)
+                    ref = g["hi"].astype(np.float64) + g["lo"].astype(np.float64)
+                    y = render_family(name, "float32")
+                    n = min(len(y), len(ref))
+                    err = float(np.abs(y[:n] - ref[:n]).max())
+                    out[key] = round(20 * np.log10(max(err, 1e-300)), 1)
+                except Exception as e:  # pragma: no cover - report, don't die
+                    out[key] = f"error: {type(e).__name__}: {e}"
+            print(f"# {key}: {out[key]} [t+{time.monotonic() - _T0:.0f}s]",
+                  file=sys.stderr, flush=True)
+            _SUITE.update(out)  # visible to the SIGTERM emitter immediately
+        if _over_budget():
+            out["matrix4_mb_dbfs"] = "skipped: budget"
+        else:
             try:
-                g = np.load(path)
-                ref = g["hi"].astype(np.float64) + g["lo"].astype(np.float64)
-                y = render_family(name, "float32")
-                n = min(len(y), len(ref))
-                err = float(np.abs(y[:n] - ref[:n]).max())
-                key = f"{name}_freerun_dbfs" if name == "matrix4_mb" else f"{name}_dbfs"
-                out[key] = round(20 * np.log10(max(err, 1e-300)), 1)
-            except Exception as e:  # pragma: no cover - report, don't die
-                out[f"{name}_dbfs"] = f"error: {type(e).__name__}: {e}"
-            print(f"# {name}_dbfs: {out.get(f'{name}_dbfs', out.get(f'{name}_freerun_dbfs'))}",
-                  file=sys.stderr)
-        try:
-            import dsp_tpu.config as _c
+                import dsp_tpu.config as _c
 
-            _c.set_sample_dtype("float32")
-            out.update(_matrix4_mb_accuracy(gold_dir))
-        except Exception as e:  # pragma: no cover
-            out["matrix4_mb_dbfs"] = f"error: {type(e).__name__}: {e}"
+                _c.set_sample_dtype("float32")
+                out.update(_matrix4_mb_accuracy(gold_dir))
+            except Exception as e:  # pragma: no cover
+                out["matrix4_mb_dbfs"] = f"error: {type(e).__name__}: {e}"
         print(f"# matrix4_mb_dbfs: {out.get('matrix4_mb_dbfs')} "
-              f"(ctl_vals {out.get('matrix4_mb_ctl_vals')})", file=sys.stderr)
+              f"(ctl_vals {out.get('matrix4_mb_ctl_vals')}) "
+              f"[t+{time.monotonic() - _T0:.0f}s]", file=sys.stderr, flush=True)
     finally:
         cfg.set_sample_dtype(prev)
     return out
@@ -321,10 +408,12 @@ def _probe_backend(timeout_s=240):
 def main():
     import numpy as np  # noqa: F401
 
+    _arm_watchdog()
     _probe_backend()
     import jax
 
     backend = jax.default_backend()
+    _BACKEND[0] = backend
     tmp = tempfile.mkdtemp(prefix="dsp_bench_")
     f64k = write_filter_wav(os.path.join(tmp, "f64k.wav"), 65536)
     f1m = write_filter_wav(os.path.join(tmp, "f1m.wav"), 1 << 20)
@@ -344,54 +433,59 @@ def main():
         ("resample_192k", "resample 192k", {"n_blocks": 8}),
         ("mixed", f"eq 1k 1.0 +3 delay -f 0.3m fir {f4k} matrix4_mb -6", {}),
     ]
-    suite = {}
+    suite = _SUITE
     for name, chain_str, kw in cases:
-        try:
-            suite[name] = round(bench_chain(chain_str, **kw), 1)
-        except Exception as e:  # pragma: no cover - report, don't die
-            suite[name] = f"error: {type(e).__name__}: {e}"
-        print(f"# {name}: {suite[name]}", file=sys.stderr)
+        if _over_budget():
+            suite[name] = "skipped: budget"
+        else:
+            try:
+                suite[name] = round(bench_chain(chain_str, **kw), 1)
+            except Exception as e:  # pragma: no cover - report, don't die
+                suite[name] = f"error: {type(e).__name__}: {e}"
+        print(f"# {name}: {suite[name]} [t+{time.monotonic() - _T0:.0f}s]",
+              file=sys.stderr, flush=True)
 
-    try:
-        suite["northstar_batch8"] = round(bench_batch(CHAIN), 1)
-    except Exception as e:  # pragma: no cover
-        suite["northstar_batch8"] = f"error: {type(e).__name__}: {e}"
-    print(f"# northstar_batch8: {suite['northstar_batch8']}", file=sys.stderr)
-
-    try:
-        suite["cli_60s_biquad"] = bench_cli_latency(tmp)
-    except Exception as e:  # pragma: no cover
-        suite["cli_60s_biquad"] = f"error: {type(e).__name__}: {e}"
-    print(f"# cli_60s_biquad: {suite['cli_60s_biquad']}", file=sys.stderr)
-
-    try:
-        import subprocess
-
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "scripts", "bench_ladspa_bridge.py")],
-            capture_output=True, text=True, timeout=600, check=True)
-        suite["ladspa_bridge_us"] = json.loads(r.stdout.strip().splitlines()[-1])
-    except Exception as e:  # pragma: no cover
-        suite["ladspa_bridge_us"] = f"error: {type(e).__name__}: {e}"
-    print(f"# ladspa_bridge_us: {suite['ladspa_bridge_us']}", file=sys.stderr)
-
+    # accuracy before the remaining perf extras: it is the driver-visible
+    # regression record (VERDICT r2 #2) and must survive an external timeout
     suite.update(accuracy_suite())
 
-    headline = suite.get("northstar")
-    value = headline if isinstance(headline, float) else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": f"realtime-multiple ({backend}, 10-effect stereo 44.1k chain, f32)",
-                "value": value,
-                "unit": "x realtime",
-                "vs_baseline": round(value / NORTH_STAR, 3),
-                "suite": suite,
-            }
-        )
-    )
+    if not _over_budget():
+        try:
+            suite["northstar_batch8"] = round(bench_batch(CHAIN), 1)
+        except Exception as e:  # pragma: no cover
+            suite["northstar_batch8"] = f"error: {type(e).__name__}: {e}"
+    else:
+        suite["northstar_batch8"] = "skipped: budget"
+    print(f"# northstar_batch8: {suite['northstar_batch8']} "
+          f"[t+{time.monotonic() - _T0:.0f}s]", file=sys.stderr, flush=True)
+
+    if not _over_budget():
+        try:
+            suite["cli_60s_biquad"] = bench_cli_latency(tmp)
+        except Exception as e:  # pragma: no cover
+            suite["cli_60s_biquad"] = f"error: {type(e).__name__}: {e}"
+    else:
+        suite["cli_60s_biquad"] = "skipped: budget"
+    print(f"# cli_60s_biquad: {suite['cli_60s_biquad']}", file=sys.stderr, flush=True)
+
+    if not _over_budget():
+        try:
+            import subprocess
+
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_ladspa_bridge.py")],
+                capture_output=True, text=True, timeout=600, check=True)
+            suite["ladspa_bridge_us"] = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:  # pragma: no cover
+            suite["ladspa_bridge_us"] = f"error: {type(e).__name__}: {e}"
+    else:
+        suite["ladspa_bridge_us"] = "skipped: budget"
+    print(f"# ladspa_bridge_us: {suite['ladspa_bridge_us']}", file=sys.stderr, flush=True)
+
+    suite["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    _emit()
     return 0
 
 
