@@ -397,6 +397,28 @@ def _input_chunks(state, want_frames):
                 break
 
 
+def _offline_prelude():
+    """Shared setup for both offline paths: overlap the one-time d2h tunnel
+    warm-up with compilation, and honor the DSP_TPU_PROFILE trace hook
+    (SURVEY §5) — a JAX/XLA profiler capture of the whole offline run.
+    Idempotent: the split path falls back to run_offline, which calls it
+    again."""
+    if getattr(_offline_prelude, "_done", False):
+        return
+    _offline_prelude._done = True
+    from dsp_tpu.chain.chain import warm_d2h_async
+
+    warm_d2h_async()
+    profile_dir = os.environ.get("DSP_TPU_PROFILE")
+    if profile_dir:
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+        atexit.register(jax.profiler.stop_trace)
+
+
 def run_offline_split(state, chain, out_writer):
     """Batched offline fast path (``DSP_TPU_SPLIT=<segments>``): read the
     whole input, cut it into lookback-primed segments, and run them batched
@@ -409,6 +431,7 @@ def run_offline_split(state, chain, out_writer):
 
     Returns frames written, or None to fall back to the streaming loop —
     the fallback decision is made BEFORE any input is consumed."""
+    _offline_prelude()
     try:
         splits = int(os.environ.get("DSP_TPU_SPLIT", "0"))
     except ValueError:
@@ -439,20 +462,7 @@ def run_offline_split(state, chain, out_writer):
 def run_offline(state, chain, out_writer, progress_cb=None):
     """Concatenate-mode batch processing: read -> chain (batched blocks on
     device) -> write. Many blocks per dispatch amortize the TPU tunnel."""
-    from dsp_tpu.chain.chain import warm_d2h_async
-
-    warm_d2h_async()  # overlap the one-time tunnel warm-up with compile
-    # tracing/profiling hook (SURVEY §5): DSP_TPU_PROFILE=<dir> captures a
-    # JAX/XLA profiler trace of the whole offline run (view with tensorboard
-    # or xprof); the reference's analog is verbose init/latency logging only
-    profile_dir = os.environ.get("DSP_TPU_PROFILE")
-    if profile_dir:
-        import jax
-
-        jax.profiler.start_trace(profile_dir)
-        import atexit
-
-        atexit.register(jax.profiler.stop_trace)
+    _offline_prelude()
     cc = CompiledChain(chain, block_frames=state.block_frames)
     B = cc.block_frames
     meta_blocks = max(1, (1 << 20) // max(1, B * chain.istream.channels))  # ~1M samples / dispatch

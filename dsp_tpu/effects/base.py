@@ -105,9 +105,13 @@ class Effect:
 
     def split_lookback(self):
         """Frames of preceding input (at this effect's input rate) that
-        re-establish steady state from zeros for split processing. The 1 s
-        default covers fast-settling filters; effects with long memory
-        (long FIRs, near-unit-circle poles, explicit delays) override."""
+        re-establish steady state from zeros for split processing. Stateless
+        effects (state0 == ()) need none; the 1 s default covers
+        fast-settling stateful filters; effects with long memory (long FIRs,
+        near-unit-circle poles, explicit delays) override."""
+        state = self.state0()
+        if isinstance(state, tuple) and len(state) == 0:
+            return 0
         return int(self.istream.fs)
 
     # --- compute path ---

@@ -54,6 +54,11 @@ def biquad_settle_frames(c, fs, eps=1e-9, cap_s=60.0):
     for k in range(c.shape[1]):
         a1, a2 = float(c[3, k]), float(c[4, k])
         if a1 == 0.0 and a2 == 0.0:
+            # FIR-only biquad (e.g. `biquad b0 b1 b2 1 0 0`): no poles, but
+            # TDF2 state still carries 2 samples of input history through the
+            # b1/b2 terms — a 0 lookback would drop them at split boundaries.
+            if float(c[1, k]) != 0.0 or float(c[2, k]) != 0.0:
+                n = max(n, 2.0)
             continue
         r = float(np.max(np.abs(np.roots([1.0, a1, a2]))))
         if r <= eps:
@@ -538,7 +543,10 @@ class FusedBiquadCascade:
 
     def split_lookback(self):
         # cascade transients convolve: the sum of per-section settle times
-        # bounds the cascade's settle time
+        # bounds the cascade's settle time. NOTE: chain-level lookback
+        # (CompiledChain.split_lookback_frames) is computed over the unfused
+        # chain.effects list BEFORE fusion, which yields the same sum; this
+        # method exists for direct callers of the runtime object.
         return sum(e.split_lookback() for e in self.effects)
 
     def state0(self):

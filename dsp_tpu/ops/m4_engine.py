@@ -505,21 +505,30 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
     lb_start = (bp - steps) % L
 
     # averaging seed + replay over lookback region. L is static and small
-    # (~21 at fs/32), so unroll at trace time: a nested lax.fori_loop would
-    # put a while-loop inside every tick of the outer control scan, and its
-    # per-iteration overhead dominates the four masked EWMAs of work. The
-    # Python loop emits the identical op sequence (bit-identical results).
-    ra = (ord_lr, ord_cs, diff_lr, diff_cs)
-    for j in range(L):
+    # (~21 at fs/32 for 44.1 kHz), so unroll at trace time: a nested
+    # lax.fori_loop would put a while-loop inside every tick of the outer
+    # control scan, and its per-iteration overhead dominates the four masked
+    # EWMAs of work. The Python loop emits the identical op sequence
+    # (bit-identical results). At high sample rates L grows (~90 at 192 kHz)
+    # and the unroll would bloat trace size / compile time, so fall back to
+    # fori_loop past a threshold — same masked-EWMA body, same results.
+    def _replay_body(j, ra):
         a0, a1, a2, a3 = ra
         idx = (lb_start + j) % L
         use = j < steps
-        ra = (
+        return (
             dx.where(use, _ewma(a0, s["ord_buf"][idx][0], p["g_avg"]), a0),
             dx.where(use, _ewma(a1, s["ord_buf"][idx][1], p["g_avg"]), a1),
             dx.where(use, _ewma(a2, s["diff_buf"][idx][0], p["g_avg"]), a2),
             dx.where(use, _ewma(a3, s["diff_buf"][idx][1], p["g_avg"]), a3),
         )
+
+    ra = (ord_lr, ord_cs, diff_lr, diff_cs)
+    if L <= 32:
+        for j in range(L):
+            ra = _replay_body(j, ra)
+    else:
+        ra = jax.lax.fori_loop(0, L, _replay_body, ra)
     avg_seeded = dx.stack(ra)
 
     s["sample"] = jnp.where(trigger, True, st["sample"])

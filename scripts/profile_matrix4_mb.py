@@ -60,9 +60,18 @@ def main():
 
     chain = build_chain_from_string("matrix4_mb -6", StreamInfo(FS, 2))
     mb = next(e for e in chain.effects if type(e).__name__ == "Matrix4MbEffect")
-    state = jax.tree_util.tree_map(
-        lambda a: jnp.asarray(a), mb.state_for_block(BLOCK)
-    )
+
+    # state_for_block returns host f64 for the hi components; the real chain
+    # path casts state to the compute dtype before stepping (CompiledChain),
+    # and the DF event engine requires hi in f32 (f64 hi makes every derived
+    # lo term f64 and the control scan carry dtypes mismatch)
+    def to_f32(a):
+        a = np.asarray(a)
+        if np.issubdtype(a.dtype, np.floating) and a.dtype != np.float32:
+            a = a.astype(np.float32)
+        return jnp.asarray(a)
+
+    state = jax.tree_util.tree_map(to_f32, mb.state_for_block(BLOCK))
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-0.5, 0.5, (BLOCK, 2)), dtype=jnp.float32)
 
