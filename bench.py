@@ -381,6 +381,57 @@ def accuracy_suite():
     return out
 
 
+def bench_ref_c(seconds=60):
+    """Wall-clock realtime multiples for the C reference binary on the same
+    chains this suite times on TPU — the head-to-head the baseline asks for
+    (the reference publishes no numbers of its own, BASELINE.md). Uses sgen
+    input and null output so the measurement is the reference's compute path
+    plus its own codec/buffer machinery, not disk. The binary is the build at
+    /tmp/refbuild/dsp/dsp (or $DSP_TPU_REF_BIN); if absent, try a one-shot
+    configure && make from /root/reference. Skips cleanly when unavailable.
+    Only fftw-free chains: the reference build here lacks fftw (no
+    fir/resample/matrix4_mb), exactly like its configure-time gating."""
+    import shutil
+    import subprocess
+
+    ref = os.environ.get("DSP_TPU_REF_BIN", "/tmp/refbuild/dsp/dsp")
+    if not os.path.exists(ref):
+        src = "/root/reference"
+        bld = "/tmp/refbuild/dsp"
+        if not os.path.isdir(src):
+            return "skipped: no reference"
+        try:
+            os.makedirs("/tmp/refbuild", exist_ok=True)
+            if not os.path.isdir(bld):
+                shutil.copytree(src, bld)
+            subprocess.run(["./configure"], cwd=bld, capture_output=True, timeout=120)
+            subprocess.run(["make", "-j8"], cwd=bld, capture_output=True, timeout=300)
+        except Exception:
+            return "skipped: build failed"
+        if not os.path.exists(ref):
+            return "skipped: build failed"
+
+    sgen = f"sine@0:freq=997+{seconds}"
+    chains = {
+        "northstar": CHAIN.split(),
+        "matrix4": ["matrix4", "-6"],
+    }
+    out = {}
+    for name, eff in chains.items():
+        cmd = [ref, "-q", "-t", "sgen", "-c", "2", "-r", str(FS), sgen,
+               "-o", "-t", "null", "null"] + eff
+        best = float("inf")
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                subprocess.run(cmd, capture_output=True, timeout=600, check=True)
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(seconds / best, 1)
+        except Exception as e:  # pragma: no cover
+            out[name] = f"error: {type(e).__name__}"
+    return out
+
+
 def _probe_backend(timeout_s=240):
     """Initialize the configured jax backend in a THROWAWAY subprocess first.
 
@@ -444,6 +495,18 @@ def main():
                 suite[name] = f"error: {type(e).__name__}: {e}"
         print(f"# {name}: {suite[name]} [t+{time.monotonic() - _T0:.0f}s]",
               file=sys.stderr, flush=True)
+
+    # the head-to-head vs the C reference on the same chains (cheap: a few
+    # seconds of subprocess wall-clock, no jax involved)
+    if _over_budget():
+        suite["ref_c"] = "skipped: budget"
+    else:
+        try:
+            suite["ref_c"] = bench_ref_c()
+        except Exception as e:  # pragma: no cover
+            suite["ref_c"] = f"error: {type(e).__name__}: {e}"
+    print(f"# ref_c: {suite['ref_c']} [t+{time.monotonic() - _T0:.0f}s]",
+          file=sys.stderr, flush=True)
 
     # accuracy before the remaining perf extras: it is the driver-visible
     # regression record (VERDICT r2 #2) and must survive an external timeout

@@ -30,5 +30,5 @@ def test_budget_skip_still_emits_json():
     assert "northstar" in rec["suite"]
     # every perf/accuracy item is present even when skipped, so the driver's
     # record never silently loses a field
-    for key in ("matrix4_mb_dbfs", "ladspa_bridge_us", "cli_60s_biquad"):
+    for key in ("matrix4_mb_dbfs", "ladspa_bridge_us", "cli_60s_biquad", "ref_c"):
         assert key in rec["suite"]
