@@ -67,7 +67,10 @@ def _emit():
 def _on_term(signum, frame):  # pragma: no cover - driver-timeout path
     _SUITE["truncated"] = f"signal {signum} at {time.monotonic() - _T0:.0f}s"
     _emit()
-    os._exit(0)
+    # SIGTERM is the driver's deadline (GNU timeout) — exit 0 so the partial
+    # record is accepted. SIGINT is a human interrupting a manual run — exit
+    # nonzero so scripts don't mistake it for a clean pass (ADVICE r4).
+    os._exit(0 if signum == signal.SIGTERM else 130)
 
 
 signal.signal(signal.SIGTERM, _on_term)
@@ -320,6 +323,11 @@ def _matrix4_mb_accuracy(gold_dir, block=32768, max_blocks=3):
     err = float(np.abs(y[:n] - ref[:n]).max())
     return {
         "matrix4_mb_dbfs": round(20 * np.log10(max(err, 1e-300)), 1),
+        # measurement basis: seconds of signal actually compared, so
+        # cross-round comparisons of matrix4_mb_dbfs know when the prefix
+        # length changed (ADVICE r4: a 2.2 s prefix vs the full 4 s signal
+        # are different bases)
+        "matrix4_mb_dbfs_secs": round(n / FS, 2),
         "matrix4_mb_ctl_vals": round(ctl_err, 4),
     }
 

@@ -76,7 +76,11 @@ class FirEffect(Effect):
                 if k_uniform >= 64:
                     import math
 
-                    m = 1 << round(math.log2(math.sqrt(self.filter_frames / B)))
+                    # round-half-up so exact-half exponents (F/B = 4^k * 2)
+                    # deliberately pick the LARGER head group: a bigger head
+                    # shrinks the tail-group partition count, which is the
+                    # expensive side at small blocks
+                    m = 1 << int(math.log2(math.sqrt(self.filter_frames / B)) + 0.5)
                     m = max(2, m)
                     eng = NupolsConv(self.filters, B, m)
                 else:

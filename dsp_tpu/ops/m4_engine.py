@@ -46,6 +46,12 @@ NORM_ACCOM_FACTOR = 0.9
 DIFF_OVERSHOOT = 1.001
 DOWNSAMPLE_FACTOR = 32
 
+# lookback-replay unroll threshold: buf_len <= this unrolls the averaging
+# replay at trace time (identical op sequence, no loop overhead); above it
+# (~L=90 at 192 kHz) a lax.fori_loop bounds trace size. Module-level so tests
+# can force the fori_loop path and assert bit-equivalence (ADVICE r4).
+UNROLL_MAX_L = 32
+
 # plain Python floats (weak-typed) so f32 compute on TPU is not promoted to
 # f64 by strict np.float64 scalars
 M_PI_4 = float(np.pi / 4.0)
@@ -524,7 +530,7 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
         )
 
     ra = (ord_lr, ord_cs, diff_lr, diff_cs)
-    if L <= 32:
+    if L <= UNROLL_MAX_L:
         for j in range(L):
             ra = _replay_body(j, ra)
     else:
