@@ -11,7 +11,9 @@ The headline value is the BASELINE north-star chain (10 effects, stereo,
 44.1 kHz); vs_baseline divides by the 1000x-realtime target. The suite covers
 VERDICT r1 item 3: matrix4, matrix4_mb, 64k-tap and 1M-tap convolution
 (fir_p's non-uniform-partition regime, reverse_iir's MAX_N neighborhood),
-resample 44.1->192k, and a realistic mixed chain.
+resample 44.1->192k, and a realistic mixed chain. Each golden-backed family
+also records its f32 accuracy vs the checked-in f64 goldens (<fam>_dbfs),
+rendered through the SAME compiled executable as its perf number.
 
 Inputs are device-resident f32 blocks (per-chip compute throughput — host
 decode/upload overlaps compute in the real pipeline; on this dev box it would
@@ -137,6 +139,11 @@ def write_filter_wav(path, taps, channels=1, seed=0xBE):
 
 
 def bench_chain(chain_str, n_blocks=N_BLOCKS, reps=REPS, block=BLOCK):
+    """Returns (realtime_multiple, cc, states0, n_blocks). The compiled
+    CompiledChain is handed back so the accuracy section can re-render the
+    golden program signal through the SAME cc._multi executable (identical
+    shapes -> no second compile; round 4 lost half the accuracy record to
+    recompiles)."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -161,7 +168,28 @@ def bench_chain(chain_str, n_blocks=N_BLOCKS, reps=REPS, block=BLOCK):
         _, ys = cc._multi(states0, xs)
         ys.block_until_ready()
         best = min(best, time.perf_counter() - t0)
-    return frames / best / FS
+    return frames / best / FS, cc, states0, n_blocks
+
+
+def accuracy_vs_golden(golden_name, cc, states0, n_blocks):
+    """Worst-sample f32-vs-f64 error (dBFS) for the golden program signal,
+    rendered through the ALREADY-COMPILED perf executable (VERDICT r2 #2's
+    driver-visible accuracy record, at zero extra compile cost)."""
+    import numpy as np
+
+    from scripts.gen_bench_goldens import program_signal, render_blocks
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_goldens", f"{golden_name}.npz"
+    )
+    if not os.path.exists(path):
+        return "error: golden missing"
+    g = np.load(path)
+    ref = g["hi"].astype(np.float64) + g["lo"].astype(np.float64)
+    y = render_blocks(cc, states0, program_signal(), n_blocks)
+    n = min(len(y), len(ref))
+    err = float(np.abs(y[:n] - ref[:n]).max())
+    return round(20 * np.log10(max(err, 1e-300)), 1)
 
 
 def bench_batch(chain_str, n_streams=8, n_blocks=4, block=BLOCK, reps=REPS):
@@ -332,58 +360,20 @@ def _matrix4_mb_accuracy(gold_dir, block=32768, max_blocks=3):
     }
 
 
-def accuracy_suite():
-    """Per-family worst-sample error vs the checked-in f64 goldens, rendered
-    in float32 on THIS backend (the real chip when benched there) — the
-    driver-visible accuracy record VERDICT r2 #2 asked for. Fields land in
-    the suite JSON as `<family>_dbfs`. matrix4_mb uses a control-replay
-    protocol (see _matrix4_mb_accuracy) because its free-run figure measures
-    event-engine chaos, not arithmetic."""
-    import numpy as np
-
+def matrix4_mb_replay_accuracy():
+    """matrix4_mb's true precision metric (control-replay protocol; see
+    _matrix4_mb_accuracy). Its own compile (split control/audio graphs), so
+    it runs budget-gated at the end of the suite."""
     import dsp_tpu.config as cfg
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from scripts.gen_bench_goldens import FAMILIES, render_family  # noqa: E501
 
     gold_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_goldens")
     out = {}
     prev = cfg.sample_dtype()
     try:
-        for name in list(FAMILIES) + ["fir"]:
-            key = f"{name}_freerun_dbfs" if name == "matrix4_mb" else f"{name}_dbfs"
-            path = os.path.join(gold_dir, f"{name}.npz")
-            if not os.path.exists(path):
-                out[key] = "error: golden missing"
-                continue
-            if _over_budget():
-                out[key] = "skipped: budget"
-            else:
-                try:
-                    g = np.load(path)
-                    ref = g["hi"].astype(np.float64) + g["lo"].astype(np.float64)
-                    y = render_family(name, "float32")
-                    n = min(len(y), len(ref))
-                    err = float(np.abs(y[:n] - ref[:n]).max())
-                    out[key] = round(20 * np.log10(max(err, 1e-300)), 1)
-                except Exception as e:  # pragma: no cover - report, don't die
-                    out[key] = f"error: {type(e).__name__}: {e}"
-            print(f"# {key}: {out[key]} [t+{time.monotonic() - _T0:.0f}s]",
-                  file=sys.stderr, flush=True)
-            _SUITE.update(out)  # visible to the SIGTERM emitter immediately
-        if _over_budget():
-            out["matrix4_mb_dbfs"] = "skipped: budget"
-        else:
-            try:
-                import dsp_tpu.config as _c
-
-                _c.set_sample_dtype("float32")
-                out.update(_matrix4_mb_accuracy(gold_dir))
-            except Exception as e:  # pragma: no cover
-                out["matrix4_mb_dbfs"] = f"error: {type(e).__name__}: {e}"
-        print(f"# matrix4_mb_dbfs: {out.get('matrix4_mb_dbfs')} "
-              f"(ctl_vals {out.get('matrix4_mb_ctl_vals')}) "
-              f"[t+{time.monotonic() - _T0:.0f}s]", file=sys.stderr, flush=True)
+        cfg.set_sample_dtype("float32")
+        out.update(_matrix4_mb_accuracy(gold_dir))
+    except Exception as e:  # pragma: no cover
+        out["matrix4_mb_dbfs"] = f"error: {type(e).__name__}: {e}"
     finally:
         cfg.set_sample_dtype(prev)
     return out
@@ -470,42 +460,64 @@ def main():
     _arm_watchdog()
     _probe_backend()
     import jax
+    import jax.numpy as jnp
 
     backend = jax.default_backend()
     _BACKEND[0] = backend
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # absorb the tunneled TPU's first device->host transfer stall (measured
+    # 1-240 s once per process) at a known point, before any timed section
+    np.asarray(jnp.zeros(8))
     tmp = tempfile.mkdtemp(prefix="dsp_bench_")
     f64k = write_filter_wav(os.path.join(tmp, "f64k.wav"), 65536)
     f1m = write_filter_wav(os.path.join(tmp, "f1m.wav"), 1 << 20)
     f4k = write_filter_wav(os.path.join(tmp, "f4k.wav"), 4096)
 
+    from scripts.gen_bench_goldens import FAMILIES
+
+    # (suite_key, chain, bench_chain kwargs, golden family or None, dbfs key)
+    # Accuracy rides the perf executable (see bench_chain), so each family's
+    # perf number and f32-accuracy record cost ONE compile together. Cheap
+    # cases run first so an external timeout can only cost the tail.
     cases = [
-        ("northstar", CHAIN, {}),
-        ("matrix4", "matrix4 -6", {}),
-        ("matrix4_mb", "matrix4_mb -6", {}),
-        ("fir_64k", f"fir {f64k}", {}),
-        ("fir_1M", f"fir_p {f1m}", {"n_blocks": 8}),
+        ("northstar", CHAIN, {}, "northstar", "northstar_dbfs"),
+        ("biquad_sweep", FAMILIES["biquad_sweep"], {}, "biquad_sweep", "biquad_sweep_dbfs"),
+        ("reverse_iir", FAMILIES["reverse_iir"], {}, "reverse_iir", "reverse_iir_dbfs"),
+        ("fir_64k", f"fir {f64k}", {}, "fir", "fir_dbfs"),
+        ("fir_1M", f"fir_p {f1m}", {"n_blocks": 8}, None, None),
         # block-size sweep (BASELINE config #3): the small-block regimes are
         # where the reference's non-uniform partitions earn their keep —
         # uniform-FDL cost per sample grows as taps/block
-        ("fir_1M_b2048", f"fir_p {f1m}", {"n_blocks": 32, "block": 2048}),
-        ("fir_1M_b256", f"fir_p {f1m}", {"n_blocks": 64, "block": 256}),
-        ("resample_192k", "resample 192k", {"n_blocks": 8}),
-        ("mixed", f"eq 1k 1.0 +3 delay -f 0.3m fir {f4k} matrix4_mb -6", {}),
+        ("fir_1M_b2048", f"fir_p {f1m}", {"n_blocks": 32, "block": 2048}, None, None),
+        ("fir_1M_b256", f"fir_p {f1m}", {"n_blocks": 64, "block": 256}, None, None),
+        ("resample_192k", "resample 192k", {"n_blocks": 8}, "resample", "resample_dbfs"),
+        ("matrix4", "matrix4 -6", {}, "matrix4", "matrix4_dbfs"),
+        ("matrix4_mb", "matrix4_mb -6", {}, "matrix4_mb", "matrix4_mb_freerun_dbfs"),
+        ("mixed", f"eq 1k 1.0 +3 delay -f 0.3m fir {f4k} matrix4_mb -6", {}, None, None),
     ]
     suite = _SUITE
-    for name, chain_str, kw in cases:
+    for name, chain_str, kw, golden, dbfs_key in cases:
         if _over_budget():
             suite[name] = "skipped: budget"
+            if dbfs_key:
+                suite[dbfs_key] = "skipped: budget"
         else:
             try:
-                suite[name] = round(bench_chain(chain_str, **kw), 1)
+                rt, cc, states0, nb = bench_chain(chain_str, **kw)
+                suite[name] = round(rt, 1)
+                if golden is not None:
+                    try:
+                        suite[dbfs_key] = accuracy_vs_golden(golden, cc, states0, nb)
+                    except Exception as e:  # pragma: no cover
+                        suite[dbfs_key] = f"error: {type(e).__name__}: {e}"
             except Exception as e:  # pragma: no cover - report, don't die
                 suite[name] = f"error: {type(e).__name__}: {e}"
-        print(f"# {name}: {suite[name]} [t+{time.monotonic() - _T0:.0f}s]",
+        acc = f" ({dbfs_key} {suite.get(dbfs_key)})" if dbfs_key and dbfs_key in suite else ""
+        print(f"# {name}: {suite[name]}{acc} [t+{time.monotonic() - _T0:.0f}s]",
               file=sys.stderr, flush=True)
 
-    # the head-to-head vs the C reference on the same chains (cheap: a few
-    # seconds of subprocess wall-clock, no jax involved)
+    # the head-to-head vs the C reference on the same chains (cheap when the
+    # binary exists: a few seconds of subprocess wall-clock, no jax involved)
     if _over_budget():
         suite["ref_c"] = "skipped: budget"
     else:
@@ -516,9 +528,15 @@ def main():
     print(f"# ref_c: {suite['ref_c']} [t+{time.monotonic() - _T0:.0f}s]",
           file=sys.stderr, flush=True)
 
-    # accuracy before the remaining perf extras: it is the driver-visible
-    # regression record (VERDICT r2 #2) and must survive an external timeout
-    suite.update(accuracy_suite())
+    # matrix4_mb's control-replay precision metric: the one accuracy item
+    # with its own compile, so it is budget-gated
+    if _over_budget():
+        suite["matrix4_mb_dbfs"] = "skipped: budget"
+    else:
+        suite.update(matrix4_mb_replay_accuracy())
+    print(f"# matrix4_mb_dbfs: {suite.get('matrix4_mb_dbfs')} "
+          f"(ctl_vals {suite.get('matrix4_mb_ctl_vals')}) "
+          f"[t+{time.monotonic() - _T0:.0f}s]", file=sys.stderr, flush=True)
 
     if not _over_budget():
         try:

@@ -470,60 +470,26 @@ class Matrix4Effect(Effect):
         p = m4.cast_params(self.ev_params, x.dtype, df=use_df)
         calc = m4.calc_matrix_coefs_v4 if cfg.matrix_ver == "v4" else m4.calc_matrix_coefs_v1
 
+        # The scan body is ONLY the sequential state machines: the event
+        # engine and the background-weight smf. Everything downstream of the
+        # per-tick engine outputs (the matrix-coefficient computation with its
+        # DF transcendentals, phase flip, direct-path pan, the parabolic
+        # interpolator windows) is a pure per-tick function, so it is hoisted
+        # out of the scan and evaluated as vector ops over all Nc ticks at
+        # once — on TPU this removes hundreds of serialized ops per tick from
+        # the sequential chain (round-4 bench: the in-scan version halved
+        # matrix4 throughput) and shrinks the compiled loop body.
         def control_step(carry, inp):
-            ev, bg, iy = carry
-            e8, fade = inp
+            ev, bg = carry
+            e8 = inp
             env = {"l": e8[0], "r": e8[1], "sum": e8[2], "diff": e8[3]}
             pwr = {"l": e8[4], "r": e8[5], "sum": e8[6], "diff": e8[7]}
             ev, out = m4.event_step(p, ev, env, pwr, 1.0)
-            # under f32 the engine outputs are DF and the whole coefficient
-            # computation below runs in df (the calc_* functions are
-            # dx-generic); vals collapse to f32 only at the interp insert
             w_step = m4.smoothstep(out["ax_cs"] * (-2.0 / m4.M_PI_4))
             bg, w1 = m4.smf_asym_run(bg, w_step + 1.0, self.bg_g0, self.bg_c0, self.bg_c1)
-            w = w1 - 1.0
-            surr_mult = (w * cfg.surr_mult[1] + (1.0 - w) * cfg.surr_mult[0]) * fade
-            ct_pcf = cfg.contour_pwrcmp * out["pwrcmp_factor"]
-            shelf_ct0 = w + (1.0 - w) * self.shelf_mult
-            shelf_ct1 = (shelf_ct0 - 1.0) * ct_pcf + 1.0
-            lp_ct0 = w + (1.0 - w) * self.lowpass_mult
-            # non-integer power: f32 suffices (smooth gain modulator, no
-            # accumulation); lift back for the df products around it
-            pw_base = dx.maximum(ct_pcf, m4.DBL_MIN)
-            pw = jnp.power(dx.value(pw_base), 1.0 / self.shelf_mult)
-            if dx.is_df(ct_pcf):
-                pw = dx.lift(pw)
-            lp_ct1 = (lp_ct0 - 1.0) * pw + 1.0
-            dp_lr = out["ax_dpwr_lr"] if cfg.do_dpwr_decouple else out["ax_lr"]
-            dp_cs = out["ax_dpwr_cs"] if cfg.do_dpwr_decouple else out["ax_cs"]
-            m, rets = calc(
-                out["ax_lr"], out["ax_cs"], dp_lr, dp_cs,
-                surr_mult, cfg.surr_mult[1] * fade, cfg.matrix_param,
-                [surr_mult * shelf_ct1, surr_mult * shelf_ct1 * lp_ct1],
-            )
-            g_surr_shelf = shelf_ct0 / shelf_ct1 * rets[0][1]
-            g_surr_lp = lp_ct0 / lp_ct1 * rets[1][1] / dx.maximum(rets[0][1], m4.DBL_MIN)
-            g_front_shelf = rets[0][0]
-            g_front_lp = rets[1][0] / rets[0][0]
-            pf_pos = m4.phase_flip_pos_rs(out["ax_lr"], out["ax_cs"])
-            pf0 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, 1.0 - pf_pos)
-            pf1 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, pf_pos)
-            amb, dire = m4.surr_direct_pan(out["ax_lr"], out["ax_cs"])
-            vals = dx.value(dx.stack([
-                m["ll"], m["lr"], m["rl"], m["rr"],
-                m["lsl"], m["lsr"], m["rsl"], m["rsr"],
-                g_surr_shelf, g_surr_lp, g_front_shelf, g_front_lp,
-                pf0, pf1, amb, dire,
-            ]))
-            # parabolic 2x interpolator insert (matrix4_common.h:358-367)
-            iy = jnp.concatenate([iy[1:], vals[None]], axis=0)
-            ia = iy[2] - iy[0]
-            ic0 = 0.5 * iy[1] + 0.25 * (iy[0] + iy[2])
-            ic1 = 0.5 * ia
-            ic2 = 0.25 * (iy[3] - iy[1] - ia)
-            ic = jnp.stack([ic0, ic1, ic2])
-            aux = dx.value(dx.stack([out["ax_lr"], out["ax_cs"], out["ax_ev_lr"], out["ax_ev_cs"]]))
-            return (ev, bg, iy), (ic, aux)
+            keep = ("ax_lr", "ax_cs", "ax_ev_lr", "ax_ev_cs",
+                    "ax_dpwr_lr", "ax_dpwr_cs", "pwrcmp_factor")
+            return (ev, bg), ({k: out[k] for k in keep}, w1)
 
         if use_df:
             ev0 = dx.wrap_dict(state["ev"], state["ev_lo"])
@@ -534,11 +500,7 @@ class Matrix4Effect(Effect):
         else:
             ev0 = state["ev"]
             bg0 = (state["bg_cs"][0], state["bg_cs"][1])
-        (ev_new, bg_new, iy_new), (ics, auxs) = jax.lax.scan(
-            control_step,
-            (ev0, bg0, state["interp_y"].astype(x.dtype)),
-            (env_ds, fade_mult_ticks),
-        )
+        (ev_new, bg_new), (out, w1s) = jax.lax.scan(control_step, (ev0, bg0), env_ds)
         if use_df:
             ev_new, ev_lo_new = dx.split_dict(ev_new, set(state["ev_lo"]))
             bg_lo_new = jnp.stack([bg_new[0].lo, bg_new[1].lo])
@@ -546,7 +508,71 @@ class Matrix4Effect(Effect):
         else:
             ev_lo_new = state["ev_lo"]
             bg_lo_new = state["bg_cs_lo"]
-        # ics: [Nc, 3, N_INTERP]; prepend carried coefficient set
+
+        # --- hoisted per-tick coefficient computation, vectorized over [Nc].
+        # Under f32 the engine outputs are DF and the whole computation below
+        # runs in df (the calc_* functions are dx-generic); vals collapse to
+        # f32 only at the interp insert.
+        fade = fade_mult_ticks
+        w = w1s - 1.0
+        surr_mult = (w * cfg.surr_mult[1] + (1.0 - w) * cfg.surr_mult[0]) * fade
+        ct_pcf = cfg.contour_pwrcmp * out["pwrcmp_factor"]
+        shelf_ct0 = w + (1.0 - w) * self.shelf_mult
+        shelf_ct1 = (shelf_ct0 - 1.0) * ct_pcf + 1.0
+        lp_ct0 = w + (1.0 - w) * self.lowpass_mult
+        # non-integer power: f32 suffices (smooth gain modulator, no
+        # accumulation); lift back for the df products around it
+        pw_base = dx.maximum(ct_pcf, m4.DBL_MIN)
+        pw = jnp.power(dx.value(pw_base), 1.0 / self.shelf_mult)
+        if dx.is_df(ct_pcf):
+            pw = dx.lift(pw)
+        lp_ct1 = (lp_ct0 - 1.0) * pw + 1.0
+        dp_lr = out["ax_dpwr_lr"] if cfg.do_dpwr_decouple else out["ax_lr"]
+        dp_cs = out["ax_dpwr_cs"] if cfg.do_dpwr_decouple else out["ax_cs"]
+        m, rets = calc(
+            out["ax_lr"], out["ax_cs"], dp_lr, dp_cs,
+            surr_mult, cfg.surr_mult[1] * fade, cfg.matrix_param,
+            [surr_mult * shelf_ct1, surr_mult * shelf_ct1 * lp_ct1],
+        )
+        g_surr_shelf = shelf_ct0 / shelf_ct1 * rets[0][1]
+        g_surr_lp = lp_ct0 / lp_ct1 * rets[1][1] / dx.maximum(rets[0][1], m4.DBL_MIN)
+        g_front_shelf = rets[0][0]
+        g_front_lp = rets[1][0] / rets[0][0]
+        pf_pos = m4.phase_flip_pos_rs(out["ax_lr"], out["ax_cs"])
+        pf0 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, 1.0 - pf_pos)
+        pf1 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, pf_pos)
+        amb, dire = m4.surr_direct_pan(out["ax_lr"], out["ax_cs"])
+        vals_ticks = dx.value(dx.stack([
+            m["ll"], m["lr"], m["rl"], m["rr"],
+            m["lsl"], m["lsr"], m["rsl"], m["rsr"],
+            g_surr_shelf, g_surr_lp, g_front_shelf, g_front_lp,
+            pf0, pf1, amb, dire,
+        ], axis=1))  # [Nc, N_INTERP]
+        auxs = dx.value(dx.stack(
+            [out["ax_lr"], out["ax_cs"], out["ax_ev_lr"], out["ax_ev_cs"]], axis=1
+        ))  # [Nc, 4]
+
+        # parabolic 2x interpolator insert (matrix4_common.h:358-367): the
+        # window at tick t is [vals[t-3], vals[t-2], vals[t-1], vals[t]] with
+        # negative indices from the carried interp_y — pure shifts, so the
+        # per-tick window update vectorizes as four slices of one extended
+        # array
+        ext = jnp.concatenate(
+            [state["interp_y"].astype(x.dtype)[1:], vals_ticks], axis=0
+        )  # [Nc + 3, N_INTERP]
+        iy0, iy1 = ext[:Nc], ext[1 : Nc + 1]
+        iy2, iy3 = ext[2 : Nc + 2], ext[3 : Nc + 3]
+        ia = iy2 - iy0
+        ics = jnp.stack(
+            [0.5 * iy1 + 0.25 * (iy0 + iy2), 0.5 * ia, 0.25 * (iy3 - iy1 - ia)], axis=1
+        )  # [Nc, 3, N_INTERP]
+        # materialize before the [B]-sized gather below: XLA:CPU's fusion
+        # emitters would otherwise inline the whole hoisted DF coefficient
+        # graph into every gathered element (the scan used to materialize ics
+        # as its ys output; keep that property)
+        ics, auxs = jax.lax.optimization_barrier((ics, auxs))
+        iy_new = ext[-4:]
+        # prepend carried coefficient set
         all_ics = jnp.concatenate([state["interp_c"][None].astype(x.dtype), ics], axis=0)
         i_arange = jnp.arange(B)
         set_idx = (i_arange + 1) // D

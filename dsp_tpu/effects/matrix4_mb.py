@@ -450,9 +450,16 @@ class Matrix4MbEffect(Effect):
         etmin = jnp.asarray(self.ev_thresh_min, dtype=x.dtype)
         contour = jnp.asarray(self.contour, dtype=x.dtype)
 
+        # The scan body carries ONLY the sequential state machines — the
+        # cross-band threshold modulation (reads the previous tick's engine
+        # state) and the per-band event engines. The matrix-coefficient
+        # computation, phase flip, pan and the parabolic interpolator windows
+        # are pure per-tick functions of the engine outputs, hoisted out of
+        # the scan and vectorized over all [Nc, NB] ticks at once (round-4
+        # bench: the in-scan version halved matrix4_mb throughput).
         def control_step(carry, inp):
-            ev, evt, iy = carry
-            e8, fade = inp  # e8: [NB, 8]
+            ev, evt = carry
+            e8 = inp  # [NB, 8]
             # cross-band event threshold modulation (matrix4_mb.c:379-418).
             # cand and the evt EWMA/compare run at carry precision (df under
             # f32); the similarity weights sim/fact are smooth modulators and
@@ -474,34 +481,8 @@ class Matrix4MbEffect(Effect):
             env = {"l": e8[:, 0], "r": e8[:, 1], "sum": e8[:, 2], "diff": e8[:, 3]}
             pwr = {"l": e8[:, 4], "r": e8[:, 5], "sum": e8[:, 6], "diff": e8[:, 7]}
             ev, out = ev_step_band(p, ev, env, pwr, evt_new * (1.0 / m4.EVENT_THRESH))
-            # engine outputs (DF under f32) stay df through the coefficient
-            # computation; vals collapse to f32 at the interp insert
-            w = m4.smoothstep(out["ax_cs"] * (-2.0 / m4.M_PI_4))
-            surr_mult = (w * cfg.surr_mult[1] + (1.0 - w) * cfg.surr_mult[0]) * fade
-            ct_pcf = cfg.contour_pwrcmp * out["pwrcmp_factor"]
-            ct0 = w + (1.0 - w) * contour
-            ct1 = (ct0 - 1.0) * ct_pcf + 1.0
-            ct2 = ct0 / ct1
-            dp_lr = out["ax_dpwr_lr"] if cfg.do_dpwr_decouple else out["ax_lr"]
-            dp_cs = out["ax_dpwr_cs"] if cfg.do_dpwr_decouple else out["ax_cs"]
-            m, _ = calc(
-                out["ax_lr"], out["ax_cs"], dp_lr, dp_cs,
-                surr_mult * ct1, cfg.surr_mult[1] * fade, cfg.matrix_param, [],
-            )
-            pf_pos = m4.phase_flip_pos_rs(out["ax_lr"], out["ax_cs"])
-            pf0 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, 1.0 - pf_pos)
-            pf1 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, pf_pos)
-            amb, dire = m4.surr_direct_pan(out["ax_lr"], out["ax_cs"])
-            vals = dx.value(dx.stack(
-                [m["ll"], m["lr"], m["rl"], m["rr"],
-                 m["lsl"] * ct2, m["lsr"] * ct2, m["rsl"] * ct2, m["rsr"] * ct2,
-                 pf0, pf1, amb, dire], axis=1,
-            ))  # [NB, N_SIG]
-            iy = jnp.concatenate([iy[1:], vals[None]], axis=0)
-            ia = iy[2] - iy[0]
-            ic = jnp.stack([0.5 * iy[1] + 0.25 * (iy[0] + iy[2]), 0.5 * ia, 0.25 * (iy[3] - iy[1] - ia)])
-            aux = dx.value(dx.stack([out["ax_lr"], out["ax_cs"]], axis=1))  # [NB, 2]
-            return (ev, evt_new, iy), (ic, aux)
+            keep = ("ax_lr", "ax_cs", "ax_dpwr_lr", "ax_dpwr_cs", "pwrcmp_factor")
+            return (ev, evt_new), {k: out[k] for k in keep}
 
         if use_df:
             ev0 = dx.wrap_dict(state["ev"], state["ev_lo"])
@@ -509,11 +490,7 @@ class Matrix4MbEffect(Effect):
         else:
             ev0 = state["ev"]
             evt0 = state["ev_thresh"].astype(x.dtype)
-        (ev_new, evt_new, iy_new), (ics, auxs) = jax.lax.scan(
-            control_step,
-            (ev0, evt0, state["interp_y"].astype(x.dtype)),
-            (env_ds, fade_ticks),
-        )
+        (ev_new, evt_new), out = jax.lax.scan(control_step, (ev0, evt0), env_ds)
         if use_df:
             ev_new, ev_lo_new = dx.split_dict(ev_new, set(state["ev_lo"]))
             evt_lo_new = evt_new.lo
@@ -521,6 +498,50 @@ class Matrix4MbEffect(Effect):
         else:
             ev_lo_new = state["ev_lo"]
             evt_lo_new = state["ev_thresh_lo"]
+
+        # --- hoisted per-tick coefficient computation over [Nc, NB]. Engine
+        # outputs (DF under f32) stay df through the computation; vals
+        # collapse to f32 at the interp insert.
+        fade = fade_ticks[:, None]  # broadcast over the band axis
+        w = m4.smoothstep(out["ax_cs"] * (-2.0 / m4.M_PI_4))
+        surr_mult = (w * cfg.surr_mult[1] + (1.0 - w) * cfg.surr_mult[0]) * fade
+        ct_pcf = cfg.contour_pwrcmp * out["pwrcmp_factor"]
+        ct0 = w + (1.0 - w) * contour[None, :]
+        ct1 = (ct0 - 1.0) * ct_pcf + 1.0
+        ct2 = ct0 / ct1
+        dp_lr = out["ax_dpwr_lr"] if cfg.do_dpwr_decouple else out["ax_lr"]
+        dp_cs = out["ax_dpwr_cs"] if cfg.do_dpwr_decouple else out["ax_cs"]
+        m, _ = calc(
+            out["ax_lr"], out["ax_cs"], dp_lr, dp_cs,
+            surr_mult * ct1, cfg.surr_mult[1] * fade, cfg.matrix_param, [],
+        )
+        pf_pos = m4.phase_flip_pos_rs(out["ax_lr"], out["ax_cs"])
+        pf0 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, 1.0 - pf_pos)
+        pf1 = m4.phase_flip_ap1_c0(self.pf_c0, self.pf_c1, pf_pos)
+        amb, dire = m4.surr_direct_pan(out["ax_lr"], out["ax_cs"])
+        vals_ticks = dx.value(dx.stack(
+            [m["ll"], m["lr"], m["rl"], m["rr"],
+             m["lsl"] * ct2, m["lsr"] * ct2, m["rsl"] * ct2, m["rsr"] * ct2,
+             pf0, pf1, amb, dire], axis=2,
+        ))  # [Nc, NB, N_SIG]
+        auxs = dx.value(dx.stack([out["ax_lr"], out["ax_cs"]], axis=2))  # [Nc, NB, 2]
+
+        # parabolic interpolator windows as slices of one extended array
+        # (matrix4_common.h:358-367): window at tick t = vals[t-3 .. t]
+        ext = jnp.concatenate(
+            [state["interp_y"].astype(x.dtype)[1:], vals_ticks], axis=0
+        )  # [Nc + 3, NB, N_SIG]
+        iy0, iy1 = ext[:Nc], ext[1 : Nc + 1]
+        iy2, iy3 = ext[2 : Nc + 2], ext[3 : Nc + 3]
+        ia = iy2 - iy0
+        ics = jnp.stack(
+            [0.5 * iy1 + 0.25 * (iy0 + iy2), 0.5 * ia, 0.25 * (iy3 - iy1 - ia)], axis=1
+        )  # [Nc, 3, NB, N_SIG]
+        # materialize before the [B]-sized gather below (see matrix4.py: the
+        # XLA:CPU fusion emitters would inline the whole hoisted DF
+        # coefficient graph into every gathered element)
+        ics, auxs = jax.lax.optimization_barrier((ics, auxs))
+        iy_new = ext[-4:]
 
         all_ics = jnp.concatenate([state["interp_c"][None].astype(x.dtype), ics], axis=0)
         i_ar = jnp.arange(B)

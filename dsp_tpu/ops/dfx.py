@@ -71,18 +71,16 @@ def _is_traced(x):
     return isinstance(x, Tracer)
 
 
-def _zero_of(x):
-    # a runtime zero the compiler cannot prove zero: algsimp keeps `x - x`
-    # (NaN-unsafe to fold), so adding it to a constant makes the constant a
-    # runtime value without changing it. NaN/inf anchors poison the result,
-    # but every such site in the engine is already select-guarded.
-    a = x if jnp.ndim(x) == 0 else x.reshape(-1)[0]
-    return a - a
-
-
-def _opaque(c, anchor_hi):
-    z = _zero_of(anchor_hi)
-    return DF(c.hi + z, c.lo + z)
+def _opaque(c):
+    # hide the constant behind an optimization barrier: algsimp cannot fold
+    # or reassociate through it, so the EFT cancellation terms survive.
+    # (An earlier version added a runtime zero `anchor[0] - anchor[0]`
+    # instead, which made every constant depend on the whole upstream chain —
+    # XLA:CPU's emitters re-computed that chain per use, turning constant-rich
+    # DF polynomials exponential in depth: a 13-term Horner measured 10 s for
+    # 64 elements. The barrier form is dependency-free and O(1).)
+    h, l = jax.lax.optimization_barrier((jnp.asarray(c.hi), jnp.asarray(c.lo)))
+    return DF(h, l)
 
 
 def _pair(a, b):
@@ -97,9 +95,9 @@ def _pair(a, b):
     at = _is_traced(a.hi)
     bt = _is_traced(b.hi)
     if at and not bt:
-        b = _opaque(b, a.hi)
+        b = _opaque(b)
     elif bt and not at:
-        a = _opaque(a, b.hi)
+        a = _opaque(a)
     return a, b
 
 

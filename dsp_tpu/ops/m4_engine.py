@@ -529,13 +529,21 @@ def event_step(p, st, env, pwr_env, thresh_scale=1.0):
             dx.where(use, _ewma(a3, s["diff_buf"][idx][1], p["g_avg"]), a3),
         )
 
+    # A closed-form weighted-sum replay (avg = (1-g)^steps * seed +
+    # sum_j g (1-g)^(steps-1-j) buf[lb+j]) was tried for the double-float
+    # path and rejected: the gather-heavy form benched SLOWER inside the
+    # serial control scan on TPU than the unrolled masked EWMAs below, and
+    # its ~1e-14 rounding difference flips event decisions over long
+    # program material (the engine is chaotic at that scale), breaking the
+    # 60 s free-run budget. Both dtypes keep the C-ordered sequential walk.
     ra = (ord_lr, ord_cs, diff_lr, diff_cs)
     if L <= UNROLL_MAX_L:
         for j in range(L):
             ra = _replay_body(j, ra)
+        avg_seeded = dx.stack(ra)
     else:
         ra = jax.lax.fori_loop(0, L, _replay_body, ra)
-    avg_seeded = dx.stack(ra)
+        avg_seeded = dx.stack(ra)
 
     s["sample"] = jnp.where(trigger, True, st["sample"])
     s["f1_l"] = jnp.where(trigger, new_f1_l, st["f1_l"])

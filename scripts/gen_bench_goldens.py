@@ -41,15 +41,28 @@ def program_signal(n_channels=2, dur=DUR, fs=FS):
     return x
 
 
-def fir_taps(n=16384):
-    """Deterministic pseudo-random FIR (seeded; exponentially decaying)."""
-    rng = np.random.default_rng(12345)
-    h = rng.standard_normal(n) * np.exp(-np.arange(n) / (n / 4.0))
-    h /= np.abs(h).sum() / 4.0
+def fir_taps(n=65536, channels=1, seed=0xBE):
+    """Deterministic pseudo-random FIR — the SAME filter bench.py's fir_64k
+    perf case synthesizes (write_filter_wav, seed 0xBE), so the accuracy
+    render can reuse the perf case's compiled executable."""
+    rng = np.random.default_rng(seed)
+    h = rng.standard_normal((n, channels))
+    h *= 0.5 / np.abs(h).sum(axis=0).max()
     return h
 
 
+# One chain string per accuracy family. These MATCH bench.py's perf cases
+# exactly (chain string AND block size) so the float32 accuracy render on the
+# bench backend reuses the perf case's compiled cc._multi executable — zero
+# extra compiles (round 4 lost half the accuracy record to compile time).
+NORTHSTAR_CHAIN = (
+    "gain -3 eq 1k 1.0 +3 eq 3.5k 0.8 -2 lowshelf 90 0.7071s +4 "
+    "highshelf 10k 0.7071s -2 lowpass 18k 0.7071 highpass 30 0.7071 "
+    "crossfeed 700 4.5 st2ms ms2st"
+)
+
 FAMILIES = {
+    "northstar": NORTHSTAR_CHAIN,
     "biquad_sweep": "eq 1k 1.0 +3 highpass 30 0.7071 lowpass 16k 0.7071 lowshelf 90 0.7071s +4 highshelf 10k 0.7071s -2",
     "matrix4": "matrix4 -6",
     "matrix4_mb": "matrix4_mb -6",
@@ -58,6 +71,32 @@ FAMILIES = {
     # fir chain is synthesized at run time (filter file path differs);
     # handled specially in render_family
 }
+
+BENCH_BLOCK = 65536
+
+
+def render_blocks(cc, states0, x, n_blocks):
+    """Render x through an already-compiled CompiledChain executable.
+
+    Zero-pads x to `n_blocks` full blocks, runs ONE cc._multi dispatch from
+    the given initial states, and returns the float64 output truncated to
+    the valid length. Both golden generation (f64, CPU) and bench.py's
+    accuracy section (f32, bench backend) use this helper, so the two sides
+    share one measurement basis; the trailing zero blocks are causal no-ops
+    for the samples compared. When shapes match a prior cc._multi call
+    (bench.py pads to the perf case's n_blocks), no new compile happens."""
+    import jax.numpy as jnp
+
+    B = cc.block_frames
+    n_in = len(x)
+    if n_blocks * B < n_in:
+        raise ValueError("n_blocks too small for signal")
+    xp = np.zeros((n_blocks * B, x.shape[1]))
+    xp[:n_in] = x
+    _, ys = cc._multi(states0, jnp.asarray(xp.reshape(n_blocks, B, x.shape[1]), cc.dtype))
+    ys = np.asarray(ys, np.float64)
+    y = ys.reshape(-1, ys.shape[-1])
+    return y[: int(n_in * float(cc.chain.ratio))]
 
 
 D_TICK = 32  # m4_engine.DOWNSAMPLE_FACTOR (control rate fs/32)
@@ -149,32 +188,32 @@ def render_matrix4_mb_f64_with_ctl(block=65536):
     return y, fit_ics(vals)
 
 
-def render_family(name, dtype, block=65536):
-    import jax.numpy as jnp
+def family_chain_str(name):
+    """Chain string for a family; 'fir' synthesizes its filter file."""
+    if name == "fir":
+        import tempfile
 
+        h = fir_taps()
+        d = tempfile.mkdtemp(prefix="dsp_goldens_")
+        path = os.path.join(d, "fir.raw")
+        h.astype(np.float64).tofile(path)
+        return f"fir -t pcm -e double -r {FS} {path}"
+    return FAMILIES[name]
+
+
+def render_family(name, dtype, block=BENCH_BLOCK):
     import dsp_tpu.config as cfg
 
     cfg.set_sample_dtype(dtype)
     from dsp_tpu.chain import CompiledChain, build_chain_from_string
     from dsp_tpu.core.types import StreamInfo
 
-    if name == "fir":
-        import tempfile
-
-        from dsp_tpu.codecs.wav import WavWriter  # noqa: F401 - ensure module exists
-
-        h = fir_taps()
-        d = tempfile.mkdtemp(prefix="dsp_goldens_")
-        path = os.path.join(d, "fir.raw")
-        h.astype(np.float64).tofile(path)
-        chain_str = f"fir -t pcm -e double -r {FS} {path}"
-    else:
-        chain_str = FAMILIES[name]
+    chain_str = family_chain_str(name)
     x = program_signal()
     chain = build_chain_from_string(chain_str, StreamInfo(FS, 2))
     cc = CompiledChain(chain, block_frames=block)
-    y = cc.process_array(x, drain=False, discard=False)
-    return np.asarray(y, np.float64)
+    n_blocks = -(-len(x) // cc.block_frames)
+    return render_blocks(cc, cc.states, x, n_blocks)
 
 
 def main():
